@@ -1,0 +1,199 @@
+"""Static-shape padded graph containers (the TPU-first core data structure).
+
+The reference keeps graphs as dense ``[N, N]`` torch tensors and re-extracts
+a COO edge list inside every sparse forward pass (``layers.py:129`` of the
+reference) — an O(N^2) memory wall and a dynamic-shape hazard. Here a graph
+is preprocessed ONCE on the host into a padded, receiver-sorted COO/CSR
+layout with fully static shapes, so every jitted step reuses one compiled
+program:
+
+* ``senders[e] -> j``, ``receivers[e] -> i`` encode the edge ``j -> i``
+  (the reference convention: ``adj[i, j] != 0`` means "message j -> i",
+  reference ``layers.py:279``; attention softmax-normalizes over the
+  incoming edges of ``i``).
+* edges are sorted by ``(receiver, sender)`` so ``receivers`` is a sorted
+  segment-id vector (enables ``indices_are_sorted=True`` segment ops and a
+  CSR ``row_ptr`` for Pallas row-block kernels).
+* padding edges point at the reserved dummy node ``N_pad - 1`` (we always
+  pad by at least one node), carry weight 0 and ``edge_mask == False``.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from pygat_tpu.utils.padding import LANE, pad_axis, round_up
+
+
+class Graph(NamedTuple):
+    """A padded static-shape graph on device.
+
+    Shapes: ``E_pad = senders.shape[0]``, ``N_pad = node_mask.shape[0]``.
+    """
+
+    senders: jax.Array  # [E_pad] int32, source node of each edge (j in j->i)
+    receivers: jax.Array  # [E_pad] int32, destination node (i); sorted ascending
+    edge_weight: jax.Array  # [E_pad] f32, normalized adjacency value (0 on padding)
+    edge_mask: jax.Array  # [E_pad] bool
+    row_ptr: jax.Array  # [N_pad + 1] int32, CSR offsets over receiver-sorted edges
+    node_mask: jax.Array  # [N_pad] bool
+    n_node: jax.Array  # scalar int32, number of real nodes
+    n_edge: jax.Array  # scalar int32, number of real edges
+
+    @property
+    def num_nodes_padded(self) -> int:
+        return self.node_mask.shape[0]
+
+    @property
+    def num_edges_padded(self) -> int:
+        return self.senders.shape[0]
+
+    def to_dense(self, binary: bool = False) -> jax.Array:
+        """Dense ``[N_pad, N_pad]`` adjacency (weights, or 0/1 if binary).
+
+        Used by the dense attention path; equivalent of the reference's
+        densification at ``utils.py:55``.
+        """
+        n = self.num_nodes_padded
+        vals = jnp.where(self.edge_mask, self.edge_weight, 0.0)
+        if binary:
+            vals = jnp.where(self.edge_mask, 1.0, 0.0)
+        dense = jnp.zeros((n, n), dtype=self.edge_weight.dtype)
+        return dense.at[self.receivers, self.senders].set(vals)
+
+
+class GraphBatch(NamedTuple):
+    """A block-diagonal batch of graphs (inductive / PPI path).
+
+    ``graph`` is a single disconnected Graph; ``graph_ids[v]`` says which
+    member graph node ``v`` belongs to (-1 on padding nodes). Mirrors the
+    reference's ``torch.block_diag`` collate (``load_data_ppi.py:71-88``)
+    but with static padded shapes.
+    """
+
+    graph: Graph
+    graph_ids: jax.Array  # [N_pad] int32, -1 for padding
+    n_graph: jax.Array  # scalar int32
+
+
+def build_graph(
+    senders: np.ndarray,
+    receivers: np.ndarray,
+    edge_weight: np.ndarray | None,
+    num_nodes: int,
+    *,
+    n_pad: int | None = None,
+    e_pad: int | None = None,
+    node_align: int = LANE,
+    edge_align: int = LANE,
+) -> Graph:
+    """Host-side constructor: sort, pad, CSR-ify, device_put.
+
+    ``senders[e] -> receivers[e]`` must already include any self loops the
+    model expects (the citation pipeline adds them during normalization,
+    reference ``utils.py:52``).
+    """
+    senders = np.asarray(senders, dtype=np.int64)
+    receivers = np.asarray(receivers, dtype=np.int64)
+    if senders.shape != receivers.shape or senders.ndim != 1:
+        raise ValueError("senders/receivers must be 1-D and equal length")
+    num_edges = int(senders.shape[0])
+    if edge_weight is None:
+        edge_weight = np.ones((num_edges,), dtype=np.float32)
+    edge_weight = np.asarray(edge_weight, dtype=np.float32)
+
+    if num_edges and (senders.min() < 0 or max(senders.max(), receivers.max()) >= num_nodes):
+        raise ValueError("edge endpoints out of range")
+
+    # Always pad by >= 1 node so N_pad - 1 is a guaranteed dummy row.
+    if n_pad is None:
+        n_pad = round_up(num_nodes + 1, node_align)
+    if n_pad <= num_nodes:
+        raise ValueError(f"n_pad={n_pad} must exceed num_nodes={num_nodes}")
+    if e_pad is None:
+        e_pad = round_up(max(num_edges, 1), edge_align)
+    if e_pad < num_edges:
+        raise ValueError(f"e_pad={e_pad} < num_edges={num_edges}")
+
+    # Receiver-major sort => receivers sorted => CSR rows contiguous.
+    order = np.lexsort((senders, receivers))
+    senders = senders[order]
+    receivers = receivers[order]
+    edge_weight = edge_weight[order]
+
+    dummy = n_pad - 1
+    senders_p = pad_axis(senders.astype(np.int32), e_pad, value=dummy)
+    receivers_p = pad_axis(receivers.astype(np.int32), e_pad, value=dummy)
+    weight_p = pad_axis(edge_weight, e_pad, value=0.0)
+    edge_mask = np.zeros((e_pad,), dtype=bool)
+    edge_mask[:num_edges] = True
+
+    # CSR row_ptr over the padded edge array (padding edges all land in the
+    # dummy row because dummy == n_pad - 1 sorts last).
+    counts = np.bincount(receivers_p, minlength=n_pad)
+    row_ptr = np.zeros((n_pad + 1,), dtype=np.int32)
+    np.cumsum(counts, out=row_ptr[1:])
+
+    node_mask = np.zeros((n_pad,), dtype=bool)
+    node_mask[:num_nodes] = True
+
+    return Graph(
+        senders=jnp.asarray(senders_p),
+        receivers=jnp.asarray(receivers_p),
+        edge_weight=jnp.asarray(weight_p),
+        edge_mask=jnp.asarray(edge_mask),
+        row_ptr=jnp.asarray(row_ptr),
+        node_mask=jnp.asarray(node_mask),
+        n_node=jnp.asarray(num_nodes, dtype=jnp.int32),
+        n_edge=jnp.asarray(num_edges, dtype=jnp.int32),
+    )
+
+
+def from_scipy(adj, *, n_pad: int | None = None, e_pad: int | None = None) -> Graph:
+    """Build from a scipy sparse matrix where ``adj[i, j] != 0`` is edge j->i."""
+    coo = adj.tocoo()
+    return build_graph(
+        senders=coo.col,
+        receivers=coo.row,
+        edge_weight=coo.data,
+        num_nodes=int(adj.shape[0]),
+        n_pad=n_pad,
+        e_pad=e_pad,
+    )
+
+
+def block_diag(
+    graphs: list[tuple[np.ndarray, np.ndarray, np.ndarray | None, int]],
+    *,
+    n_pad: int | None = None,
+    e_pad: int | None = None,
+) -> GraphBatch:
+    """Merge ``(senders, receivers, weights, num_nodes)`` tuples into one
+    disconnected padded graph with node-id offsets (block-diagonal batch)."""
+    all_s, all_r, all_w = [], [], []
+    offsets = [0]
+    for s, r, w, n in graphs:
+        s = np.asarray(s)
+        r = np.asarray(r)
+        all_s.append(s + offsets[-1])
+        all_r.append(r + offsets[-1])
+        all_w.append(np.ones_like(s, dtype=np.float32) if w is None else np.asarray(w, np.float32))
+        offsets.append(offsets[-1] + int(n))
+    num_nodes = offsets[-1]
+    senders = np.concatenate(all_s) if all_s else np.zeros((0,), np.int64)
+    receivers = np.concatenate(all_r) if all_r else np.zeros((0,), np.int64)
+    weights = np.concatenate(all_w) if all_w else np.zeros((0,), np.float32)
+    g = build_graph(senders, receivers, weights, num_nodes, n_pad=n_pad, e_pad=e_pad)
+
+    gid = np.full((g.num_nodes_padded,), -1, dtype=np.int32)
+    for k in range(len(graphs)):
+        gid[offsets[k] : offsets[k + 1]] = k
+    return GraphBatch(
+        graph=g,
+        graph_ids=jnp.asarray(gid),
+        n_graph=jnp.asarray(len(graphs), dtype=jnp.int32),
+    )

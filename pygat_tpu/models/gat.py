@@ -1,0 +1,158 @@
+"""Multi-layer multi-head GAT model (head-batched, functional).
+
+Re-design of the reference container (models.py:7-35): instead of H*L
+independent ``nn.Module`` heads, each layer's heads live in one stacked
+``[H, ...]`` parameter tree and run under ``jax.vmap`` — one big einsum per
+layer on the MXU instead of H small matmuls. Semantics preserved:
+
+* ``nheads`` is preceded by an implicit 1 (models.py:12); layer ``i`` takes
+  ``nfeats[i] * nheads[i-1]`` inputs and emits ``nfeats[i+1]`` per head.
+* non-final layers: per-head ELU then concat (head-major feature blocks,
+  models.py:32); final layer: mean over heads, no activation (models.py:34).
+* every head draws its own dropout masks (each reference head module calls
+  F.dropout independently on the same input).
+"""
+
+from __future__ import annotations
+
+from typing import Any, NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from pygat_tpu.graph import Graph
+from pygat_tpu.models import init as gini
+from pygat_tpu.models.layers import (
+    V1Params,
+    V2Params,
+    gat_v1_dense,
+    gat_v1_sparse,
+    gat_v2_dense,
+    gat_v2_sparse,
+)
+
+LAYER_TYPES = ("GAT", "GAT_sparse", "GATv2", "GATv2_sparse")
+
+
+class GATConfig(NamedTuple):
+    nlayers: int
+    nheads: tuple[int, ...]  # heads per layer, e.g. (8, 1)
+    nfeats: tuple[int, ...]  # len == nlayers + 1, e.g. (1433, 8, 7)
+    dropout: float
+    alpha: float
+    layer_type: str = "GAT_sparse"
+    skip_connection: bool = False
+
+    @property
+    def is_sparse(self) -> bool:
+        return self.layer_type.endswith("_sparse")
+
+    @property
+    def is_v2(self) -> bool:
+        return self.layer_type.startswith("GATv2")
+
+
+def layer_dims(cfg: GATConfig, i: int) -> tuple[int, int, int]:
+    """(in_features, out_features, heads) of layer i, reference models.py:18-25."""
+    heads = (1,) + tuple(cfg.nheads)
+    return cfg.nfeats[i] * heads[i], cfg.nfeats[i + 1], heads[i + 1]
+
+
+def init_gat(key: jax.Array, cfg: GATConfig) -> list[Any]:
+    """Per-layer stacked-head parameter trees, reference init distributions
+    (xavier uniform for dense variants, xavier normal for sparse; skip
+    projections always uniform — layers.py:22,112,119,193,248)."""
+    if cfg.layer_type not in LAYER_TYPES:
+        raise ValueError(f"unknown layer_type {cfg.layer_type!r}")
+    if len(cfg.nfeats) != cfg.nlayers + 1 or len(cfg.nheads) != cfg.nlayers:
+        raise ValueError("nfeats must have nlayers+1 entries, nheads nlayers")
+    w_init = gini.xavier_normal if cfg.is_sparse else gini.xavier_uniform
+
+    params: list[Any] = []
+    for i in range(cfg.nlayers):
+        f_in, f_out, h = layer_dims(cfg, i)
+        key, kw, ka, ks = jax.random.split(key, 4)
+        skip = (
+            gini.xavier_uniform(ks, (h, f_in, f_out), f_in + f_out)
+            if cfg.skip_connection
+            else None
+        )
+        if cfg.is_v2:
+            params.append(
+                V2Params(
+                    W=w_init(kw, (h, 2 * f_in, f_out), 2 * f_in + f_out),
+                    a=w_init(ka, (h, f_out), f_out + 1),
+                    skip=skip,
+                )
+            )
+        else:
+            params.append(
+                V1Params(
+                    W=w_init(kw, (h, f_in, f_out), f_in + f_out),
+                    a=w_init(ka, (h, 2 * f_out), 2 * f_out + 1),
+                    skip=skip,
+                )
+            )
+    return params
+
+
+def _head_fn(cfg: GATConfig):
+    return {
+        "GAT": gat_v1_dense,
+        "GAT_sparse": gat_v1_sparse,
+        "GATv2": gat_v2_dense,
+        "GATv2_sparse": gat_v2_sparse,
+    }[cfg.layer_type]
+
+
+def apply_gat(
+    params: list[Any],
+    cfg: GATConfig,
+    x: jax.Array,  # [N_pad, F0]
+    graph: Graph,
+    rng: jax.Array,
+    *,
+    train: bool,
+) -> jax.Array:
+    """Forward pass; returns raw per-node outputs [N_pad, n_classes]
+    (final layer has concat=False, so no activation — reference models.py:34;
+    the transductive loss head adds ELU + log_softmax, train.py:151-152)."""
+    fn = _head_fn(cfg)
+    if cfg.is_sparse:
+        neighborhood: Any = graph
+    else:
+        # Dense mask computed once per forward, shared by all layers —
+        # the reference's `adj > 0` test (layers.py:41) against the
+        # densified normalized adjacency (utils.py:55).
+        neighborhood = graph.to_dense(binary=True) > 0
+
+    h = x
+    for i, layer_params in enumerate(params):
+        concat = i < cfg.nlayers - 1
+        n_heads = jax.tree_util.tree_leaves(layer_params)[0].shape[0]
+        rng, layer_key = jax.random.split(rng)
+        head_keys = jax.random.split(layer_key, n_heads)
+
+        def run_head(p, k, h=h, concat=concat):
+            return fn(
+                p,
+                h,
+                neighborhood,
+                k,
+                alpha=cfg.alpha,
+                drop=cfg.dropout,
+                concat=concat,
+                train=train,
+            )
+
+        outs = jax.vmap(run_head)(layer_params, head_keys)  # [H, N, F_out]
+        if concat:
+            # torch.cat(head outputs, dim=1): head-major feature blocks.
+            h = jnp.moveaxis(outs, 0, 1).reshape(outs.shape[1], -1)
+        else:
+            h = jnp.mean(outs, axis=0)
+    return h
+
+
+def param_count(params) -> int:
+    return sum(int(p.size) for p in jax.tree_util.tree_leaves(params))

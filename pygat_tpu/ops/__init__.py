@@ -1,0 +1,18 @@
+"""Kernel layer: XLA baselines + Pallas TPU kernels for the three sparse
+primitives GAT needs — SDDMM (per-edge logits), segment-softmax (normalize
+over incoming edges), SpMM (attention-weighted aggregation).
+
+TPU-native replacements for the reference's native ops:
+* ``torch_scatter.scatter_max`` (reference layers.py:145,285) -> segment_max
+  inside :mod:`pygat_tpu.ops.segment` / fused Pallas segment-softmax.
+* ``SpecialSpmmFunction`` sparse matmul + dense-backward hack (reference
+  layers.py:70-95) -> :mod:`pygat_tpu.ops.spmm` with a custom VJP whose
+  edge-value gradient is an SDDMM, never a dense [N, N] product.
+"""
+
+from pygat_tpu.ops.segment import (  # noqa: F401
+    segment_max,
+    segment_softmax_stable,
+    segment_sum,
+)
+from pygat_tpu.ops.dispatch import get_backend, set_backend  # noqa: F401

@@ -1,0 +1,103 @@
+"""Per-layer activation parity vs. the NumPy transliteration of the
+reference math (BASELINE.json: "Per-layer activations must match the
+PyTorch reference allclose"). Dropout disabled — RNG streams differ."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from pygat_tpu.graph import build_graph
+from pygat_tpu.models.layers import (
+    V1Params,
+    V2Params,
+    gat_v1_dense,
+    gat_v1_sparse,
+    gat_v2_dense,
+    gat_v2_sparse,
+)
+from tests import reference_math as ref
+
+ALPHA = 0.2
+F_IN, F_OUT = 12, 6
+
+
+def _setup(random_graph_tuple, rng, v2=False, skip=False):
+    send, recv, w, n = random_graph_tuple
+    g = build_graph(send, recv, w, n)
+    n_pad = g.num_nodes_padded
+
+    h = rng.standard_normal((n, F_IN)).astype(np.float32)
+    h_pad = np.zeros((n_pad, F_IN), np.float32)
+    h_pad[:n] = h
+    adj = np.zeros((n, n), np.float32)
+    adj[recv, send] = w
+
+    win = 2 * F_IN if v2 else F_IN
+    W = rng.standard_normal((win, F_OUT)).astype(np.float32) * 0.3
+    a_len = F_OUT if v2 else 2 * F_OUT
+    a = rng.standard_normal(a_len).astype(np.float32) * 0.3
+    skip_w = rng.standard_normal((F_IN, F_OUT)).astype(np.float32) * 0.3 if skip else None
+    return g, h, h_pad, adj, W, a, skip_w, n
+
+
+KEY = jax.random.PRNGKey(0)  # unused: train=False disables dropout
+
+
+@pytest.mark.parametrize("concat", [True, False])
+@pytest.mark.parametrize("skip", [False, True])
+def test_v1_dense_parity(random_graph_tuple, rng, concat, skip):
+    g, h, h_pad, adj, W, a, skip_w, n = _setup(random_graph_tuple, rng, skip=skip)
+    params = V1Params(jnp.asarray(W), jnp.asarray(a), None if skip_w is None else jnp.asarray(skip_w))
+    mask = g.to_dense(binary=True) > 0
+    out = gat_v1_dense(params, jnp.asarray(h_pad), mask, KEY,
+                       alpha=ALPHA, drop=0.6, concat=concat, train=False)
+    want = ref.v1_dense_head(W, a, h, adj, ALPHA, concat, skip_w)
+    np.testing.assert_allclose(np.asarray(out)[:n], want, rtol=2e-4, atol=2e-5)
+
+
+@pytest.mark.parametrize("concat", [True, False])
+@pytest.mark.parametrize("skip", [False, True])
+def test_v1_sparse_parity(random_graph_tuple, rng, concat, skip):
+    g, h, h_pad, adj, W, a, skip_w, n = _setup(random_graph_tuple, rng, skip=skip)
+    params = V1Params(jnp.asarray(W), jnp.asarray(a), None if skip_w is None else jnp.asarray(skip_w))
+    out = gat_v1_sparse(params, jnp.asarray(h_pad), g, KEY,
+                        alpha=ALPHA, drop=0.6, concat=concat, train=False)
+    want = ref.v1_sparse_head(W, a, h, adj, ALPHA, concat, skip_w)
+    np.testing.assert_allclose(np.asarray(out)[:n], want, rtol=2e-4, atol=2e-5)
+
+
+@pytest.mark.parametrize("concat", [True, False])
+def test_v2_dense_parity_with_broadcast_quirk(random_graph_tuple, rng, concat):
+    g, h, h_pad, adj, W, a, skip_w, n = _setup(random_graph_tuple, rng, v2=True)
+    params = V2Params(jnp.asarray(W), jnp.asarray(a), None)
+    mask = g.to_dense(binary=True) > 0
+    out = gat_v2_dense(params, jnp.asarray(h_pad), mask, KEY,
+                       alpha=ALPHA, drop=0.6, concat=concat, train=False)
+    want = ref.v2_dense_head(W, a, h, adj, ALPHA, concat, None)
+    np.testing.assert_allclose(np.asarray(out)[:n], want, rtol=2e-4, atol=2e-5)
+
+
+@pytest.mark.parametrize("concat", [True, False])
+@pytest.mark.parametrize("skip", [False, True])
+def test_v2_sparse_parity(random_graph_tuple, rng, concat, skip):
+    g, h, h_pad, adj, W, a, skip_w, n = _setup(random_graph_tuple, rng, v2=True, skip=skip)
+    params = V2Params(jnp.asarray(W), jnp.asarray(a), None if skip_w is None else jnp.asarray(skip_w))
+    out = gat_v2_sparse(params, jnp.asarray(h_pad), g, KEY,
+                        alpha=ALPHA, drop=0.6, concat=concat, train=False)
+    want = ref.v2_sparse_head(W, a, h, adj, ALPHA, concat, skip_w)
+    np.testing.assert_allclose(np.asarray(out)[:n], want, rtol=2e-4, atol=2e-5)
+
+
+def test_sparse_equals_dense_v1(random_graph_tuple, rng):
+    """The edge-list path must reproduce the dense masked softmax exactly
+    (SURVEY §7 step 3: verify sparse ≡ dense)."""
+    g, h, h_pad, adj, W, a, _, n = _setup(random_graph_tuple, rng)
+    params = V1Params(jnp.asarray(W), jnp.asarray(a), None)
+    mask = g.to_dense(binary=True) > 0
+    dense = gat_v1_dense(params, jnp.asarray(h_pad), mask, KEY,
+                         alpha=ALPHA, drop=0.0, concat=True, train=False)
+    sparse = gat_v1_sparse(params, jnp.asarray(h_pad), g, KEY,
+                           alpha=ALPHA, drop=0.0, concat=True, train=False)
+    np.testing.assert_allclose(np.asarray(dense)[:n], np.asarray(sparse)[:n],
+                               rtol=1e-4, atol=1e-5)
