@@ -1,0 +1,111 @@
+"""Transductive trainer CLI (Cora / Citeseer / Pubmed).
+
+Same interface as the reference ``train.py`` (flags at train.py:31-45;
+per-dataset presets at train.py:47-87), plus TPU-specific knobs:
+
+    python -m pygat_tpu.cli.train --dataset cora --model GAT_sparse
+
+New flags: --backend {xla,pallas}, --platform, --checkpoint-dir, --jsonl,
+--log-every, --no-checkpoint.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import random
+import time
+
+import numpy as np
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description="pygat_tpu transductive trainer")
+    p.add_argument("--no-cuda", action="store_true", default=False,
+                   help="(reference compat; accepted and ignored — device is the JAX platform)")
+    p.add_argument("--fastmode", action="store_true", default=False,
+                   help="Validate during training pass.")
+    p.add_argument("--dataset", type=str, default="cora",
+                   choices=["cora", "pubmed", "citeseer"])
+    p.add_argument("--model", type=str, default="GAT_sparse",
+                   choices=["GAT_sparse", "GAT", "GATv2", "GATv2_sparse"])
+    p.add_argument("--seed", type=int, default=72)
+    p.add_argument("--epochs", type=int, default=10000)
+    p.add_argument("--patience", type=int, default=100)
+    # --- new, TPU-native ---
+    p.add_argument("--backend", type=str, default=None, choices=["xla", "pallas"],
+                   help="sparse kernel backend")
+    p.add_argument("--platform", type=str, default=None,
+                   help="force a JAX platform (e.g. cpu)")
+    p.add_argument("--checkpoint-dir", type=str, default="checkpoints")
+    p.add_argument("--no-checkpoint", action="store_true", default=False)
+    p.add_argument("--jsonl", type=str, default=None, help="JSONL metrics path")
+    p.add_argument("--log-every", type=int, default=1)
+    p.add_argument("--data-root", type=str, default=None)
+    return p
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+
+    if args.platform:
+        import jax
+        jax.config.update("jax_platforms", args.platform)
+
+    random.seed(args.seed)
+    np.random.seed(args.seed)
+
+    from pygat_tpu.data.citation import dataset_stats, load_citation
+    from pygat_tpu.models.gat import GATConfig
+    from pygat_tpu.models.presets import PRESETS, TRAIN_PRESETS
+    from pygat_tpu.ops.dispatch import set_backend
+    from pygat_tpu.train.logging import TrainLogger
+    from pygat_tpu.train.loop import fit_transductive
+
+    if args.backend:
+        set_backend(args.backend)
+
+    data = load_citation(args.dataset, data_root=args.data_root)
+    stats = dataset_stats(data)
+    print(f"Number of nodes: {stats['nodes']}")
+    print(f"Number of edges: {stats['edges']}")
+    print(f"Number of input features: {stats['input_features']}")
+    print(f"Number of classes: {stats['classes']}")
+    print(f"Number of training nodes: {stats['train_nodes']}")
+    print(f"Number of validation nodes: {stats['val_nodes']}")
+    print(f"Number of test nodes: {stats['test_nodes']}")
+    if stats["synthetic_parts"]:
+        print(f"WARNING: synthetic stand-ins for: {stats['synthetic_parts']}")
+
+    cfg = GATConfig(layer_type=args.model, **PRESETS[args.dataset])
+    # first-layer width follows the LANE-padded feature matrix (padding
+    # columns are zero; static shape keeps the matmul MXU-aligned)
+    cfg = cfg._replace(nfeats=(int(data.features.shape[1]),) + cfg.nfeats[1:])
+    tp = TRAIN_PRESETS[args.dataset]
+    logger = TrainLogger(jsonl_path=args.jsonl)
+
+    print("start training")
+    t0 = time.time()
+    result = fit_transductive(
+        cfg,
+        data,
+        lr=tp["lr"],
+        weight_decay=tp["weight_decay"],
+        epochs=args.epochs,
+        patience=args.patience,
+        seed=args.seed,
+        fastmode=args.fastmode,
+        checkpoint_dir=None if args.no_checkpoint else args.checkpoint_dir,
+        dataset_tag=args.dataset,
+        logger=logger,
+        log_every=args.log_every,
+    )
+    print("Optimization Finished!")
+    print("Total time elapsed: {:.4f}s".format(time.time() - t0))
+    print("Loading {}th epoch".format(result.best_epoch))
+    logger.close()
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1,0 +1,151 @@
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from pygat_tpu.train import checkpoint as ckpt
+from pygat_tpu.train.metrics import accuracy, bce_with_logits, log_logits, micro_f1, nll_loss
+from pygat_tpu.train.state import TrainState, init_state, make_optimizer
+
+
+def test_nll_matches_manual():
+    logits = jnp.asarray(np.random.default_rng(0).standard_normal((6, 4)).astype(np.float32))
+    labels = jnp.asarray([0, 1, 2, 3, 0, 1])
+    lp = log_logits(logits)
+    got = float(nll_loss(lp, labels))
+    want = -float(np.mean(np.asarray(lp)[np.arange(6), np.asarray(labels)]))
+    np.testing.assert_allclose(got, want, rtol=1e-6)
+    # log_softmax rows sum to 1 in prob space
+    np.testing.assert_allclose(np.exp(np.asarray(lp)).sum(1), 1.0, rtol=1e-5)
+
+
+def test_micro_f1_matches_sklearn():
+    from sklearn.metrics import f1_score
+
+    rng = np.random.default_rng(3)
+    logits = rng.standard_normal((50, 7)).astype(np.float32)
+    targets = (rng.random((50, 7)) < 0.3).astype(np.float32)
+    got = float(micro_f1(jnp.asarray(logits), jnp.asarray(targets)))
+    want = f1_score(targets, (logits > 0).astype(np.float32), average="micro")
+    np.testing.assert_allclose(got, want, rtol=1e-6)
+
+
+def test_bce_matches_torch_formula():
+    rng = np.random.default_rng(4)
+    x = rng.standard_normal((20, 5)).astype(np.float32)
+    y = (rng.random((20, 5)) < 0.5).astype(np.float32)
+    got = float(bce_with_logits(jnp.asarray(x), jnp.asarray(y)))
+    # sigmoid BCE in f64
+    p = 1 / (1 + np.exp(-x.astype(np.float64)))
+    want = float(np.mean(-(y * np.log(p) + (1 - y) * np.log(1 - p))))
+    np.testing.assert_allclose(got, want, rtol=1e-5)
+
+
+def test_bce_mask_ignores_padding():
+    x = jnp.asarray(np.ones((4, 3), np.float32))
+    y = jnp.asarray(np.ones((4, 3), np.float32))
+    mask = jnp.asarray([True, True, False, False])
+    full = bce_with_logits(x[:2], y[:2])
+    masked = bce_with_logits(x.at[2:].set(99.0), y, mask=mask)
+    np.testing.assert_allclose(float(full), float(masked), rtol=1e-6)
+
+
+def test_optimizer_matches_torch_adam_l2():
+    """chain(add_decayed_weights, adam) == torch Adam(weight_decay) for one step."""
+    import torch
+
+    w0 = np.array([[1.0, -2.0], [0.5, 3.0]], np.float32)
+    g0 = np.array([[0.1, 0.2], [-0.3, 0.4]], np.float32)
+    lr, wd = 0.01, 0.1
+
+    tw = torch.nn.Parameter(torch.tensor(w0))
+    opt = torch.optim.Adam([tw], lr=lr, weight_decay=wd)
+    tw.grad = torch.tensor(g0)
+    opt.step()
+    want = tw.detach().numpy()
+
+    tx = make_optimizer(lr, wd)
+    params = {"w": jnp.asarray(w0)}
+    st = tx.init(params)
+    upd, st = tx.update({"w": jnp.asarray(g0)}, st, params)
+    import optax
+
+    got = np.asarray(optax.apply_updates(params, upd)["w"])
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-7)
+
+
+def test_checkpoint_roundtrip_and_rotation(tmp_path):
+    tx = make_optimizer(0.01, 0.0)
+    params = {"w": jnp.arange(6.0).reshape(2, 3)}
+    state = init_state(params, tx, jax.random.PRNGKey(0))
+
+    d = str(tmp_path)
+    for epoch in range(5):
+        st = state._replace(step=jnp.asarray(epoch))
+        ckpt.save(d, epoch, "cora", st)
+    assert len(ckpt.list_checkpoints(d, "cora")) == 5
+
+    ckpt.rotate_below_best(d, "cora", 2)
+    assert [e for e, _ in ckpt.list_checkpoints(d, "cora")] == [2, 3, 4]
+    ckpt.rotate_above_best(d, "cora", 2)
+    assert [e for e, _ in ckpt.list_checkpoints(d, "cora")] == [2]
+
+    restored, header = ckpt.restore(ckpt.best_path(d, "cora", 2), like=state)
+    assert header["epoch"] == 2
+    assert int(restored.step) == 2
+    np.testing.assert_allclose(np.asarray(restored.params["w"]), np.arange(6.0).reshape(2, 3))
+
+
+def test_checkpoint_shape_mismatch_rejected(tmp_path):
+    tx = make_optimizer(0.01, 0.0)
+    state = init_state({"w": jnp.zeros((2, 3))}, tx, jax.random.PRNGKey(0))
+    ckpt.save(str(tmp_path), 0, "x", state)
+    bad = init_state({"w": jnp.zeros((3, 3))}, tx, jax.random.PRNGKey(0))
+    with pytest.raises(ValueError):
+        ckpt.restore(ckpt.best_path(str(tmp_path), "x", 0), like=bad)
+
+
+def test_fit_transductive_learns_and_early_stops(tmp_path):
+    """2-layer GAT on a small planted-partition graph must fit the training
+    signal and early-stop via the patience policy."""
+    from pygat_tpu.data import synthetic
+    from pygat_tpu.data.citation import CitationDataset
+    from pygat_tpu.graph import build_graph
+    from pygat_tpu.models.gat import GATConfig
+    from pygat_tpu.train.loop import fit_transductive
+    from pygat_tpu.train.logging import TrainLogger
+
+    s, r, labels = synthetic.planted_partition_graph(300, 4, "unit", avg_degree=10)
+    s = np.concatenate([s, np.arange(300)])
+    r = np.concatenate([r, np.arange(300)])
+    g = build_graph(s, r, None, 300)
+    feats = synthetic.class_features(labels, 32, "unit", density=0.15)
+    n_pad = g.num_nodes_padded
+    x = np.zeros((n_pad, 128), np.float32)
+    x[:300, :32] = feats
+    lab = np.full(n_pad, -1, np.int32)
+    lab[:300] = labels
+    data = CitationDataset(
+        graph=g,
+        features=jnp.asarray(x),
+        labels=jnp.asarray(lab),
+        idx_train=jnp.arange(150),
+        idx_val=jnp.arange(150, 220),
+        idx_test=jnp.arange(220, 300),
+        num_classes=4,
+        num_features=32,
+        synthetic_parts=("all",),
+    )
+    cfg = GATConfig(nlayers=2, nheads=(4, 1), nfeats=(128, 8, 4), dropout=0.3,
+                    alpha=0.2, layer_type="GAT_sparse")
+    res = fit_transductive(
+        cfg, data, lr=0.01, weight_decay=5e-4, epochs=120, patience=20,
+        checkpoint_dir=str(tmp_path), dataset_tag="unit",
+        logger=TrainLogger(stream=open(os.devnull, "w")), log_every=50,
+    )
+    assert res.test_acc > 0.6, f"model failed to learn: test_acc={res.test_acc}"
+    # rotation left exactly the best checkpoint
+    ckpts = ckpt.list_checkpoints(str(tmp_path), "unit")
+    assert [e for e, _ in ckpts] == [res.best_epoch]
