@@ -1,0 +1,100 @@
+"""Inductive PPI trainer CLI.
+
+Same interface as the reference ``train_ppi.py`` (flags train_ppi.py:26-39,
+config train_ppi.py:43-55):
+
+    python -m pygat_tpu.cli.train_ppi --batch_size 2 --model GAT
+
+The reference's checkpoint rotation/restore crashes after epoch 0
+(train_ppi.py:198: int('0_ppi')); this implements the intended keep-best
+policy shared with the transductive trainer.
+"""
+
+from __future__ import annotations
+
+import argparse
+import random
+import time
+
+import numpy as np
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description="pygat_tpu inductive PPI trainer")
+    p.add_argument("--no-cuda", action="store_true", default=False,
+                   help="(reference compat; accepted and ignored)")
+    p.add_argument("--fastmode", action="store_true", default=False)
+    p.add_argument("--dataset", type=str, default="ppi", choices=["ppi"])
+    p.add_argument("--model", type=str, default="GAT",
+                   choices=["GAT_sparse", "GAT", "GATv2", "GATv2_sparse"])
+    p.add_argument("--seed", type=int, default=72)
+    p.add_argument("--epochs", type=int, default=10000)
+    p.add_argument("--patience", type=int, default=100)
+    p.add_argument("--batch_size", type=int, default=2,
+                   help="Number of graphs that are passed during training")
+    # --- new, TPU-native ---
+    p.add_argument("--backend", type=str, default=None, choices=["xla", "pallas"])
+    p.add_argument("--platform", type=str, default=None)
+    p.add_argument("--checkpoint-dir", type=str, default="checkpoints")
+    p.add_argument("--no-checkpoint", action="store_true", default=False)
+    p.add_argument("--jsonl", type=str, default=None)
+    p.add_argument("--quiet-batches", action="store_true", default=False)
+    p.add_argument("--data-root", type=str, default=None)
+    return p
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+    if args.platform:
+        import jax
+        jax.config.update("jax_platforms", args.platform)
+
+    random.seed(args.seed)
+    np.random.seed(args.seed)
+
+    from pygat_tpu.data.ppi import load_ppi
+    from pygat_tpu.models.gat import GATConfig
+    from pygat_tpu.models.presets import PRESETS, TRAIN_PRESETS
+    from pygat_tpu.ops.dispatch import set_backend
+    from pygat_tpu.train.logging import TrainLogger
+    from pygat_tpu.train.loop import fit_inductive
+    from pygat_tpu.utils.padding import round_up
+
+    if args.backend:
+        set_backend(args.backend)
+
+    data = load_ppi(data_root=args.data_root)
+    print(f"PPI graphs: {len(data.train)} train / {len(data.valid)} valid / "
+          f"{len(data.test)} test")
+    if data.synthetic_parts:
+        print(f"WARNING: synthetic stand-ins for: {list(data.synthetic_parts)}")
+
+    cfg = GATConfig(layer_type=args.model, **PRESETS["ppi"])
+    cfg = cfg._replace(nfeats=(round_up(cfg.nfeats[0]),) + cfg.nfeats[1:])
+    tp = TRAIN_PRESETS["ppi"]
+    logger = TrainLogger(jsonl_path=args.jsonl)
+
+    t0 = time.time()
+    result = fit_inductive(
+        cfg,
+        data,
+        batch_size=args.batch_size,
+        lr=tp["lr"],
+        weight_decay=tp["weight_decay"],
+        epochs=args.epochs,
+        patience=args.patience,
+        seed=args.seed,
+        checkpoint_dir=None if args.no_checkpoint else args.checkpoint_dir,
+        dataset_tag="ppi",
+        logger=logger,
+        log_batches=not args.quiet_batches,
+    )
+    print("Optimization Finished!")
+    print("Total time elapsed: {:.4f}s".format(time.time() - t0))
+    print("Loading {}th epoch".format(result.best_epoch))
+    logger.close()
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

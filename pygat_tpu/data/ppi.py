@@ -1,0 +1,240 @@
+"""Inductive PPI pipeline: multi-graph loading + static-shape batching.
+
+Mirrors the reference loader (load_data_ppi.py:90-192): per split, node
+features ``{split}_feats.npy`` [NS, 50], multi-labels ``{split}_labels.npy``
+[NS, 121], node-link JSON topology, and ``{split}_graph_id.npy`` slicing the
+collection into individual graphs (20 train / 2 val / 2 test); each graph
+gets self-loops + D^-1/2(A+I)D^-1/2 (load_data_ppi.py:151).
+
+Batching re-designs the reference's ``torch.block_diag`` collate
+(load_data_ppi.py:71-88) for TPU static shapes: graphs are merged by COO
+node-offset concatenation and every batch is padded to ONE global
+(N_pad, E_pad) bound — a single compiled program for all batches, zero
+recompiles across epochs regardless of shuffling.
+
+This container has no network egress and several PPI blobs are stripped
+(topology JSONs, all labels, train feats — /root/reference/.MISSING_LARGE_BLOBS);
+missing pieces are regenerated deterministically (synthetic.py): topology as
+planted-partition graphs at the REAL per-graph sizes from graph_id files,
+labels from one global random hyperplane rule over (features + neighbor
+mean), so the task stays learnable and consistent across splits.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+from typing import Iterator, NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import scipy.sparse as sp
+
+from pygat_tpu.data.citation import _find, _search_roots
+from pygat_tpu.data.preprocess import normalize_adj
+from pygat_tpu.data.synthetic import _rng, planted_partition_graph
+from pygat_tpu.graph import GraphBatch, block_diag
+from pygat_tpu.models.presets import PPI_NUM_CLASSES, PPI_NUM_INPUT_FEATURES
+from pygat_tpu.utils.padding import pad_axis, round_up
+
+SPLITS = ("train", "valid", "test")
+# Real per-graph node counts (from {split}_graph_id.npy), used when the id
+# files themselves are missing.
+_FALLBACK_SIZES = {
+    "train": [1767, 1377, 2263, 2339, 1578, 1021, 1823, 2488, 591, 3312,
+              2401, 1878, 1819, 3480, 2794, 2326, 2650, 2815, 3163, 3021],
+    "valid": [3230, 3284],
+    "test": [3224, 2300],
+}
+_SYNTH_DEGREE = 14.0  # average degree for synthetic topology
+
+
+class PPIGraph(NamedTuple):
+    """One host-side PPI graph (pre-padding)."""
+
+    features: np.ndarray  # [N, 50] float32
+    labels: np.ndarray  # [N, 121] float32
+    senders: np.ndarray  # directed COO incl. both directions + self loops
+    receivers: np.ndarray
+    weights: np.ndarray  # normalized adjacency values
+    num_nodes: int
+
+
+def _warn(part: str) -> None:
+    print(
+        f"[pygat_tpu.data] ppi: '{part}' not found (stripped blob?) — "
+        "using deterministic synthetic stand-in",
+        file=sys.stderr,
+    )
+
+
+def _synth_labels(features: np.ndarray, senders, receivers, n: int) -> np.ndarray:
+    """Global hyperplane rule on neighbor-smoothed features: the same
+    projection R for every split, so train graphs predict val/test."""
+    rng = _rng("ppi:labelrule", PPI_NUM_INPUT_FEATURES, PPI_NUM_CLASSES)
+    R = rng.standard_normal((PPI_NUM_INPUT_FEATURES, PPI_NUM_CLASSES)).astype(np.float32)
+    bias = rng.standard_normal(PPI_NUM_CLASSES).astype(np.float32) * 0.5
+    deg = np.zeros(n, np.float32)
+    np.add.at(deg, receivers, 1.0)
+    smooth = np.zeros_like(features)
+    np.add.at(smooth, receivers, features[senders])
+    smooth = smooth / np.maximum(deg, 1.0)[:, None]
+    z = 0.5 * (features + smooth)
+    z = (z - z.mean(0)) / (z.std(0) + 1e-6)
+    return (z @ R + bias > 0.8).astype(np.float32)
+
+
+def _load_split(split: str, roots: list[str]) -> tuple[list[PPIGraph], list[str]]:
+    synth: list[str] = []
+    gid_path = _find(f"data/ppi/{split}_graph_id.npy", roots)
+    if gid_path is not None:
+        graph_ids = np.load(gid_path)
+    else:
+        _warn(f"{split}_graph_id.npy")
+        synth.append(f"{split}_graph_id")
+        sizes = _FALLBACK_SIZES[split]
+        graph_ids = np.repeat(np.arange(len(sizes)), sizes)
+    n_total = graph_ids.shape[0]
+
+    feats_path = _find(f"data/ppi/{split}_feats.npy", roots)
+    if feats_path is not None:
+        feats_all = np.load(feats_path).astype(np.float32)
+    else:
+        _warn(f"{split}_feats.npy")
+        synth.append(f"{split}_feats")
+        rng = _rng(f"ppi:{split}:feats", n_total)
+        # match the real features' rough scale (mostly small positive values)
+        feats_all = np.abs(rng.standard_normal((n_total, PPI_NUM_INPUT_FEATURES))).astype(
+            np.float32
+        ) * (rng.random((n_total, PPI_NUM_INPUT_FEATURES)) < 0.3)
+
+    topo_path = _find(f"data/ppi/{split}_graph.json", roots)
+    topo = None
+    if topo_path is not None:
+        with open(topo_path) as f:
+            topo = json.load(f)
+    else:
+        _warn(f"{split}_graph.json")
+        synth.append(f"{split}_graph")
+
+    labels_path = _find(f"data/ppi/{split}_labels.npy", roots)
+    labels_all = None
+    if labels_path is not None:
+        labels_all = np.load(labels_path).astype(np.float32)
+    else:
+        _warn(f"{split}_labels.npy")
+        synth.append(f"{split}_labels")
+
+    graphs: list[PPIGraph] = []
+    unique_ids = np.unique(graph_ids)
+    for gid in unique_ids:
+        mask = graph_ids == gid
+        node_ids = np.nonzero(mask)[0]
+        n = node_ids.shape[0]
+        feats = feats_all[mask]
+
+        if topo is not None:
+            # node-link JSON: edges among this graph's global node ids
+            remap = {int(g): i for i, g in enumerate(node_ids)}
+            src, dst = [], []
+            for link in topo["links"]:
+                s, t = int(link["source"]), int(link["target"])
+                if s in remap and t in remap:
+                    src.append(remap[s])
+                    dst.append(remap[t])
+            senders = np.asarray(src + dst, dtype=np.int64)
+            receivers = np.asarray(dst + src, dtype=np.int64)
+        else:
+            senders, receivers, _ = planted_partition_graph(
+                n, 8, f"ppi:{split}:{int(gid)}", avg_degree=_SYNTH_DEGREE
+            )
+
+        # dedupe + self loops + normalize, reference load_data_ppi.py:149-151
+        adj = sp.coo_matrix(
+            (np.ones(len(senders), np.float32), (receivers, senders)), shape=(n, n)
+        ).tocsr()
+        adj.data[:] = 1.0  # DiGraph semantics: multi-edges collapse
+        adj_norm = normalize_adj(adj + sp.eye(n, dtype=np.float32, format="csr")).tocoo()
+        assert abs(adj_norm - adj_norm.T).max() < 1e-6  # load_data_ppi.py:157
+
+        if labels_all is not None:
+            labels = labels_all[mask]
+        else:
+            labels = _synth_labels(feats, adj_norm.col, adj_norm.row, n)
+
+        graphs.append(
+            PPIGraph(
+                features=feats,
+                labels=labels,
+                senders=adj_norm.col.astype(np.int64),
+                receivers=adj_norm.row.astype(np.int64),
+                weights=adj_norm.data.astype(np.float32),
+                num_nodes=n,
+            )
+        )
+    return graphs, synth
+
+
+class PPIData(NamedTuple):
+    train: list[PPIGraph]
+    valid: list[PPIGraph]
+    test: list[PPIGraph]
+    synthetic_parts: tuple[str, ...]
+
+
+def load_ppi(data_root: str | None = None) -> PPIData:
+    roots = _search_roots(data_root)
+    out = {}
+    synth: list[str] = []
+    for split in SPLITS:
+        graphs, s = _load_split(split, roots)
+        out[split] = graphs
+        synth += s
+    return PPIData(out["train"], out["valid"], out["test"], tuple(synth))
+
+
+class PaddedBatch(NamedTuple):
+    features: jax.Array  # [N_pad, F_pad]
+    labels: jax.Array  # [N_pad, C]
+    batch: GraphBatch
+
+
+def batch_bounds(graphs: list[PPIGraph], batch_size: int) -> tuple[int, int]:
+    """Worst-case (N_pad, E_pad) over any batch_size-subset: the sum of the
+    largest batch_size graphs (shuffling makes any combination possible)."""
+    ns = sorted((g.num_nodes for g in graphs), reverse=True)[:batch_size]
+    es = sorted((len(g.senders) for g in graphs), reverse=True)[:batch_size]
+    return round_up(sum(ns) + 1), round_up(max(sum(es), 1))
+
+
+def make_batches(
+    graphs: list[PPIGraph],
+    batch_size: int,
+    *,
+    n_pad: int,
+    e_pad: int,
+    shuffle: bool = False,
+    seed: int = 0,
+) -> Iterator[PaddedBatch]:
+    """Block-diagonal batches at ONE static shape (reference collate
+    load_data_ppi.py:71-88, shuffle semantics load_data_ppi.py:168-190)."""
+    order = np.arange(len(graphs))
+    if shuffle:
+        np.random.default_rng(seed).shuffle(order)
+    f_pad = round_up(PPI_NUM_INPUT_FEATURES)
+    for start in range(0, len(graphs), batch_size):
+        members = [graphs[i] for i in order[start : start + batch_size]]
+        gb = block_diag(
+            [(g.senders, g.receivers, g.weights, g.num_nodes) for g in members],
+            n_pad=n_pad,
+            e_pad=e_pad,
+        )
+        feats = np.concatenate([g.features for g in members], axis=0)
+        labels = np.concatenate([g.labels for g in members], axis=0)
+        feats = pad_axis(pad_axis(feats, n_pad, axis=0), f_pad, axis=1)
+        labels = pad_axis(labels, n_pad, axis=0)
+        yield PaddedBatch(
+            features=jnp.asarray(feats), labels=jnp.asarray(labels), batch=gb
+        )

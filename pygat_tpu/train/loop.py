@@ -21,7 +21,14 @@ from pygat_tpu.graph import Graph
 from pygat_tpu.models.gat import GATConfig, apply_gat, init_gat
 from pygat_tpu.train import checkpoint as ckpt
 from pygat_tpu.train.logging import TrainLogger
-from pygat_tpu.train.metrics import accuracy, log_logits, nll_loss
+from pygat_tpu.train.metrics import (
+    accuracy,
+    bce_with_logits,
+    f1_counts,
+    log_logits,
+    micro_f1,
+    nll_loss,
+)
 from pygat_tpu.train.state import TrainState, init_state, make_optimizer
 
 
@@ -151,6 +158,142 @@ def fit_transductive(
         best_val_loss=best,
         test_loss=float(test_loss),
         test_acc=float(test_acc),
+        epochs_run=epoch + 1,
+        state=state,
+        history=history,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Inductive (PPI) loop — reference train_ppi.py:112-216, with its broken
+# checkpoint rotation replaced by the intended policy (SURVEY §2.10).
+# ---------------------------------------------------------------------------
+
+
+def make_inductive_steps(cfg: GATConfig, tx: optax.GradientTransformation):
+    def _loss(params, x, graph, y, key, train):
+        out = apply_gat(params, cfg, x, graph, key, train=train)
+        mask = graph.node_mask
+        loss = bce_with_logits(out, y, mask=mask)
+        f1 = micro_f1(out, y, mask=mask)
+        return loss, (f1, out)
+
+    @jax.jit
+    def train_step(state: TrainState, x, graph: Graph, y):
+        rng, key = jax.random.split(state.rng)
+        (loss, (f1, _)), grads = jax.value_and_grad(_loss, has_aux=True)(
+            state.params, x, graph, y, key, True
+        )
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        return TrainState(state.step + 1, params, opt_state, rng), loss, f1
+
+    @jax.jit
+    def eval_step(params, x, graph: Graph, y):
+        key = jax.random.PRNGKey(0)
+        loss, (f1, out) = _loss(params, x, graph, y, key, False)
+        tp, fp, fn = f1_counts(out, y, mask=graph.node_mask)
+        return loss, f1, tp, fp, fn
+
+    return train_step, eval_step
+
+
+def fit_inductive(
+    cfg: GATConfig,
+    data,  # pygat_tpu.data.ppi.PPIData
+    *,
+    batch_size: int,
+    lr: float,
+    weight_decay: float,
+    epochs: int,
+    patience: int,
+    seed: int = 72,
+    checkpoint_dir: str | None = None,
+    dataset_tag: str = "ppi",
+    logger: TrainLogger | None = None,
+    log_batches: bool = True,
+    init_params: Any = None,
+) -> FitResult:
+    from pygat_tpu.data.ppi import batch_bounds, make_batches
+
+    logger = logger or TrainLogger()
+    tx = make_optimizer(lr, weight_decay)
+    key = jax.random.PRNGKey(seed)
+    key, init_key = jax.random.split(key)
+    params = init_params if init_params is not None else init_gat(init_key, cfg)
+    state = init_state(params, tx, key)
+    train_step, eval_step = make_inductive_steps(cfg, tx)
+
+    # ONE static batch shape across all splits/epochs => one compile.
+    bounds = [batch_bounds(g, batch_size) for g in (data.train, data.valid, data.test)]
+    n_pad = max(b[0] for b in bounds)
+    e_pad = max(b[1] for b in bounds)
+
+    best = float("inf")
+    best_epoch = 0
+    bad_counter = 0
+    history = []
+    epoch = -1
+
+    for epoch in range(epochs):
+        t0 = time.time()
+        for bi, pb in enumerate(
+            make_batches(data.train, batch_size, n_pad=n_pad, e_pad=e_pad,
+                         shuffle=True, seed=seed + epoch)
+        ):
+            state, loss_tr, f1_tr = train_step(state, pb.features, pb.batch.graph, pb.labels)
+            if log_batches:
+                logger.log("ppi_batch", split="train", epoch=epoch, batch=bi,
+                           loss=float(loss_tr), f1=float(f1_tr), time=time.time() - t0)
+            t0 = time.time()
+
+        val_losses = []
+        for bi, pb in enumerate(
+            make_batches(data.valid, batch_size, n_pad=n_pad, e_pad=e_pad)
+        ):
+            loss_v, f1_v, *_ = eval_step(state.params, pb.features, pb.batch.graph, pb.labels)
+            if log_batches:
+                logger.log("ppi_batch", split="valid", epoch=epoch, batch=bi,
+                           loss=float(loss_v), f1=float(f1_v), time=time.time() - t0)
+            t0 = time.time()
+            val_losses.append(float(loss_v))
+        loss_val = sum(val_losses) / len(val_losses)
+        history.append(loss_val)
+
+        if checkpoint_dir:
+            ckpt.save(checkpoint_dir, epoch, dataset_tag, state)
+        if loss_val < best:
+            best = loss_val
+            best_epoch = epoch
+            bad_counter = 0
+        else:
+            bad_counter += 1
+        if bad_counter == patience:
+            break
+        if checkpoint_dir:
+            ckpt.rotate_below_best(checkpoint_dir, dataset_tag, best_epoch)
+
+    if checkpoint_dir:
+        ckpt.rotate_above_best(checkpoint_dir, dataset_tag, best_epoch)
+        state, _ = ckpt.restore(
+            ckpt.best_path(checkpoint_dir, dataset_tag, best_epoch), like=state
+        )
+
+    # test: mean batch loss + micro-F1 over the concatenation of all batches
+    # (summed counts == concatenated micro-F1), train_ppi.py:155-174.
+    losses, TP, FP, FN = [], 0.0, 0.0, 0.0
+    for pb in make_batches(data.test, batch_size, n_pad=n_pad, e_pad=e_pad):
+        loss_t, _, tp, fp, fn = eval_step(state.params, pb.features, pb.batch.graph, pb.labels)
+        losses.append(float(loss_t))
+        TP += float(tp); FP += float(fp); FN += float(fn)
+    test_loss = sum(losses) / len(losses)
+    test_f1 = 2 * TP / max(2 * TP + FP + FN, 1.0)
+    logger.log("test", loss=test_loss, accuracy=test_f1)
+    return FitResult(
+        best_epoch=best_epoch,
+        best_val_loss=best,
+        test_loss=test_loss,
+        test_acc=test_f1,
         epochs_run=epoch + 1,
         state=state,
         history=history,

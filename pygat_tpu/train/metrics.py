@@ -49,6 +49,25 @@ def bce_with_logits(logits: jax.Array, targets: jax.Array, mask=None) -> jax.Arr
     return jnp.sum(per * mask) / jnp.maximum(jnp.sum(weights), 1.0)
 
 
+def f1_counts(logits: jax.Array, targets: jax.Array, mask=None):
+    """(tp, fp, fn) at threshold logit > 0; micro-F1 over a concatenation of
+    batches equals micro-F1 from the summed counts (used by the PPI test
+    path instead of the reference's host-side torch.cat + sklearn,
+    train_ppi.py:155-174)."""
+    preds = (logits > 0).astype(jnp.float32)
+    t = targets.astype(jnp.float32)
+    if mask is not None:
+        m = mask.astype(jnp.float32)
+        if m.ndim == 1:
+            m = m[:, None]
+        preds = preds * m
+        t = t * m
+    tp = jnp.sum(preds * t)
+    fp = jnp.sum(preds * (1 - t))
+    fn = jnp.sum((1 - preds) * t)
+    return tp, fp, fn
+
+
 def micro_f1(logits: jax.Array, targets: jax.Array, mask=None) -> jax.Array:
     """Micro-averaged F1 at threshold logit > 0 (train_ppi.py:107)."""
     preds = (logits > 0).astype(jnp.float32)

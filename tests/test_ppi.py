@@ -1,0 +1,120 @@
+import numpy as np
+import pytest
+
+from pygat_tpu.data.ppi import PPIGraph, batch_bounds, load_ppi, make_batches
+from pygat_tpu.models.presets import PPI_NUM_CLASSES, PPI_NUM_INPUT_FEATURES
+
+
+@pytest.fixture(scope="module")
+def ppi():
+    return load_ppi()
+
+
+def test_ppi_split_sizes(ppi):
+    # 20 train / 2 valid / 2 test graphs (load_data_ppi.py:132)
+    assert len(ppi.train) == 20
+    assert len(ppi.valid) == 2
+    assert len(ppi.test) == 2
+    # real graph_id node counts
+    assert sum(g.num_nodes for g in ppi.train) == 44906
+    assert sum(g.num_nodes for g in ppi.valid) == 6514
+    assert sum(g.num_nodes for g in ppi.test) == 5524
+
+
+def test_ppi_graph_invariants(ppi):
+    for g in ppi.train[:3] + ppi.valid + ppi.test:
+        assert g.features.shape == (g.num_nodes, PPI_NUM_INPUT_FEATURES)
+        assert g.labels.shape == (g.num_nodes, PPI_NUM_CLASSES)
+        assert set(np.unique(g.labels)) <= {0.0, 1.0}
+        # self loops present (adj + I)
+        assert (g.senders == g.receivers).sum() == g.num_nodes
+        # symmetric normalized adjacency
+        lut = {}
+        for s, r, w in zip(g.senders[:2000], g.receivers[:2000], g.weights[:2000]):
+            lut[(int(s), int(r))] = float(w)
+        full = {(int(s), int(r)): float(w) for s, r, w in zip(g.senders, g.receivers, g.weights)}
+        for (s, r), w in list(lut.items())[:300]:
+            assert (r, s) in full
+            np.testing.assert_allclose(w, full[(r, s)], rtol=1e-5)
+
+
+def test_batching_static_shapes(ppi):
+    n_pad, e_pad = batch_bounds(ppi.train, 2)
+    assert n_pad % 128 == 0 and e_pad % 128 == 0
+    shapes = set()
+    total_nodes = 0
+    for pb in make_batches(ppi.train, 2, n_pad=n_pad, e_pad=e_pad, shuffle=True, seed=1):
+        shapes.add((pb.features.shape, pb.labels.shape,
+                    pb.batch.graph.num_nodes_padded, pb.batch.graph.num_edges_padded))
+        total_nodes += int(pb.batch.graph.n_node)
+    assert len(shapes) == 1, f"batches must share one static shape, got {shapes}"
+    assert total_nodes == 44906
+    # 20 graphs / batch_size 2 = 10 batches
+    assert len(list(make_batches(ppi.train, 2, n_pad=n_pad, e_pad=e_pad))) == 10
+
+
+def test_batch_block_diag_no_cross_edges(ppi):
+    n_pad, e_pad = batch_bounds(ppi.valid, 2)
+    (pb,) = list(make_batches(ppi.valid, 2, n_pad=n_pad, e_pad=e_pad))
+    gid = np.asarray(pb.batch.graph_ids)
+    send = np.asarray(pb.batch.graph.senders)
+    recv = np.asarray(pb.batch.graph.receivers)
+    mask = np.asarray(pb.batch.graph.edge_mask)
+    # every edge stays within one member graph
+    assert (gid[send[mask]] == gid[recv[mask]]).all()
+    assert int(pb.batch.n_graph) == 2
+
+
+def test_shuffle_changes_order_deterministically(ppi):
+    n_pad, e_pad = batch_bounds(ppi.train, 2)
+    a = [int(pb.batch.graph.n_node) for pb in
+         make_batches(ppi.train, 2, n_pad=n_pad, e_pad=e_pad, shuffle=True, seed=3)]
+    b = [int(pb.batch.graph.n_node) for pb in
+         make_batches(ppi.train, 2, n_pad=n_pad, e_pad=e_pad, shuffle=True, seed=3)]
+    c = [int(pb.batch.graph.n_node) for pb in
+         make_batches(ppi.train, 2, n_pad=n_pad, e_pad=e_pad, shuffle=True, seed=4)]
+    assert a == b
+    assert a != c
+
+
+def test_inductive_fit_smoke(tmp_path):
+    """Tiny synthetic multi-graph problem end-to-end through fit_inductive."""
+    import os
+
+    from pygat_tpu.data.ppi import PPIData
+    from pygat_tpu.data.synthetic import planted_partition_graph
+    from pygat_tpu.models.gat import GATConfig
+    from pygat_tpu.train.logging import TrainLogger
+    from pygat_tpu.train.loop import fit_inductive
+    import scipy.sparse as sp
+    from pygat_tpu.data.preprocess import normalize_adj
+
+    rng = np.random.default_rng(0)
+    R = rng.standard_normal((16, 6)).astype(np.float32)
+
+    def mk(n, name):
+        s, r, _ = planted_partition_graph(n, 3, name, avg_degree=6)
+        adj = sp.coo_matrix((np.ones(len(s), np.float32), (r, s)), shape=(n, n)).tocsr()
+        adj.data[:] = 1.0
+        adj = normalize_adj(adj + sp.eye(n, format="csr", dtype=np.float32)).tocoo()
+        feats = rng.standard_normal((n, 16)).astype(np.float32)
+        labels = (feats @ R > 0.5).astype(np.float32)
+        return PPIGraph(feats, labels, adj.col.astype(np.int64),
+                        adj.row.astype(np.int64), adj.data.astype(np.float32), n)
+
+    data = PPIData(
+        train=[mk(40, f"t{i}") for i in range(4)],
+        valid=[mk(30, "v0"), mk(35, "v1")],
+        test=[mk(30, "x0"), mk(25, "x1")],
+        synthetic_parts=("all",),
+    )
+    cfg = GATConfig(nlayers=2, nheads=(2, 2), nfeats=(128, 16, 6), dropout=0.0,
+                    alpha=0.2, layer_type="GAT_sparse", skip_connection=True)
+    res = fit_inductive(
+        cfg, data, batch_size=2, lr=0.01, weight_decay=0.0, epochs=30, patience=30,
+        checkpoint_dir=str(tmp_path), logger=TrainLogger(stream=open(os.devnull, "w")),
+        log_batches=False,
+    )
+    assert res.test_acc > 0.5, f"micro-F1 too low: {res.test_acc}"
+    from pygat_tpu.train import checkpoint as ckpt
+    assert [e for e, _ in ckpt.list_checkpoints(str(tmp_path), "ppi")] == [res.best_epoch]
