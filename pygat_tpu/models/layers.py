@@ -217,3 +217,41 @@ def gat_v2_sparse(
         edge_logits, Whi, graph, k4, drop=drop, train=train
     )
     return _finish(h_prime, h, params.skip, concat)
+
+
+def gat_v1_sparse_all_heads(
+    params: V1Params,  # stacked [H, ...] leaves
+    h: jax.Array,  # [N, F_in]
+    graph: Graph,
+    tiles,  # pygat_tpu.ops.tiles.TiledGraph
+    rng,
+    *,
+    alpha: float,
+    drop: float,
+    concat: bool,
+    train: bool,
+    interpret: bool = False,
+) -> jax.Array:
+    """Head-batched sparse GATv1 through the fused Pallas kernel.
+
+    Semantics match ``gat_v1_sparse`` with dropout disabled; used on the
+    eval path and for dropout-free configs (in-kernel dropout is the
+    planned extension). Returns [H, N, F_out].
+    """
+    from pygat_tpu.ops.sparse_attention import gat_attention_v1
+
+    if train and drop > 0.0:
+        raise ValueError("fused path has no dropout yet; use the xla backend")
+    f_out = params.W.shape[-1]
+    wh = jnp.einsum("nf,hfo->hno", h, params.W)
+    f_dst = jnp.einsum("hno,ho->hn", wh, params.a[:, :f_out])
+    f_src = jnp.einsum("hno,ho->hn", wh, params.a[:, f_out:])
+    out = gat_attention_v1(
+        f_dst, f_src, wh, graph, tiles, alpha=alpha, backend="pallas",
+        interpret=interpret,
+    )
+    if params.skip is not None:
+        out = out + jnp.einsum("nf,hfo->hno", h, params.skip)
+    if concat:
+        out = jax.nn.elu(out)
+    return out

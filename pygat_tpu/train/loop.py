@@ -32,11 +32,15 @@ from pygat_tpu.train.metrics import (
 from pygat_tpu.train.state import TrainState, init_state, make_optimizer
 
 
-def make_transductive_steps(cfg: GATConfig, tx: optax.GradientTransformation):
-    """Build (train_step, eval_step) jitted closures."""
+def make_transductive_steps(
+    cfg: GATConfig, tx: optax.GradientTransformation, tiles=None
+):
+    """Build (train_step, eval_step) jitted closures. ``tiles`` (a
+    TiledGraph) routes dropout-free passes through the fused Pallas kernel
+    when the 'pallas' backend is selected."""
 
     def _loss(params, x, graph, labels, idx, key, train):
-        out = apply_gat(params, cfg, x, graph, key, train=train)
+        out = apply_gat(params, cfg, x, graph, key, train=train, tiles=tiles)
         lp = log_logits(out)
         loss = nll_loss(lp[idx], labels[idx])
         acc = accuracy(lp[idx], labels[idx])
@@ -91,13 +95,20 @@ def fit_transductive(
 ) -> FitResult:
     """Reference policy: track best val loss, patience counter, save every
     epoch, rotate non-best, restore best, test (train.py:191-236)."""
+    from pygat_tpu.ops.dispatch import get_backend
+
     logger = logger or TrainLogger()
     tx = make_optimizer(lr, weight_decay)
     key = jax.random.PRNGKey(seed)
     key, init_key = jax.random.split(key)
     params = init_params if init_params is not None else init_gat(init_key, cfg)
     state = init_state(params, tx, key)
-    train_step, eval_step = make_transductive_steps(cfg, tx)
+    tiles = None
+    if get_backend() == "pallas" and cfg.layer_type == "GAT_sparse":
+        from pygat_tpu.ops.tiles import tile_graph
+
+        tiles = tile_graph(data.graph)
+    train_step, eval_step = make_transductive_steps(cfg, tx, tiles=tiles)
 
     x, g, labels = data.features, data.graph, data.labels
 
