@@ -132,7 +132,6 @@ def apply_gat(
         get_backend(backend) == "pallas"
         and tiles is not None
         and cfg.layer_type == "GAT_sparse"
-        and not (train and cfg.dropout > 0.0)
     )
     if use_fused:
         h = x

@@ -234,24 +234,39 @@ def gat_v1_sparse_all_heads(
 ) -> jax.Array:
     """Head-batched sparse GATv1 through the fused Pallas kernel.
 
-    Semantics match ``gat_v1_sparse`` with dropout disabled; used on the
-    eval path and for dropout-free configs (in-kernel dropout is the
-    planned extension). Returns [H, N, F_out].
+    Semantics match ``gat_v1_sparse`` incl. dropout placement (per-head
+    input and post-projection masks; attention dropout applied to the
+    numerator with a pre-dropout denominator). One deliberate divergence:
+    the attention-dropout mask is shared across heads on this path (the
+    vmapped XLA path draws per-head masks). Returns [H, N, F_out].
     """
     from pygat_tpu.ops.sparse_attention import gat_attention_v1
 
-    if train and drop > 0.0:
-        raise ValueError("fused path has no dropout yet; use the xla backend")
+    n_heads = params.W.shape[0]
     f_out = params.W.shape[-1]
-    wh = jnp.einsum("nf,hfo->hno", h, params.W)
+    k_in, k_proj, k_att = jax.random.split(rng, 3)
+    use_drop = train and drop > 0.0
+    if use_drop:
+        in_keys = jax.random.split(k_in, n_heads)
+        x_h = jax.vmap(lambda k: dropout(h, drop, k, True))(in_keys)  # [H, N, F_in]
+        wh = jnp.einsum("hnf,hfo->hno", x_h, params.W)
+        proj_keys = jax.random.split(k_proj, n_heads)
+        wh = jax.vmap(lambda w, k: dropout(w, drop, k, True))(wh, proj_keys)
+    else:
+        x_h = None
+        wh = jnp.einsum("nf,hfo->hno", h, params.W)
+
     f_dst = jnp.einsum("hno,ho->hn", wh, params.a[:, :f_out])
     f_src = jnp.einsum("hno,ho->hn", wh, params.a[:, f_out:])
     out = gat_attention_v1(
         f_dst, f_src, wh, graph, tiles, alpha=alpha, backend="pallas",
-        interpret=interpret,
+        interpret=interpret, dropout_rate=drop, dropout_rng=k_att, train=train,
     )
     if params.skip is not None:
-        out = out + jnp.einsum("nf,hfo->hno", h, params.skip)
+        if x_h is not None:
+            out = out + jnp.einsum("hnf,hfo->hno", x_h, params.skip)
+        else:
+            out = out + jnp.einsum("nf,hfo->hno", h, params.skip)
     if concat:
         out = jax.nn.elu(out)
     return out

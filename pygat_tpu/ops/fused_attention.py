@@ -39,7 +39,7 @@ from pygat_tpu.ops.tiles import EDGE_CHUNK, TILE, TiledGraph
 NEG = -1e30
 
 
-def _make_kernel(alpha: float, n_chunks: int, n_heads: int):
+def _make_kernel(alpha: float, n_chunks: int, n_heads: int, precision):
     def kernel(
         chunk_row_ref,  # [C] int32 (scalar prefetch, SMEM)
         chunk_col_ref,  # [C] int32 (scalar prefetch, SMEM)
@@ -49,6 +49,8 @@ def _make_kernel(alpha: float, n_chunks: int, n_heads: int):
         recv_ref,  # [1, 8, EC] int32 (8 packed chunks)
         send_ref,  # [1, 8, EC] int32
         valid_ref,  # [1, 8, EC] f32
+        drop_ref,  # [1, 8, EC] f32: numerator multiplier (dropout keep/(1-p);
+                   # equals `valid` when dropout is off)
         out_ref,  # [H, TILE, F]
         m_ref,  # [H, TILE, 1] scratch: running row max
         d_ref,  # [H, TILE, 1] scratch: running denominator
@@ -73,6 +75,7 @@ def _make_kernel(alpha: float, n_chunks: int, n_heads: int):
         rl = recv_ref[0, sub, :]  # [EC] int32
         sl = send_ref[0, sub, :]
         v = valid_ref[0, sub, :][None, :]  # [1, EC]
+        dropv = drop_ref[0, sub, :][None, :]  # [1, EC]
 
         # head-independent one-hot incidence tiles (built once per chunk)
         tids = jax.lax.broadcasted_iota(jnp.int32, (TILE, EDGE_CHUNK), 0)
@@ -86,8 +89,8 @@ def _make_kernel(alpha: float, n_chunks: int, n_heads: int):
             fs = fsb[h : h + 1, :]
             wh = wh_ref[h]  # [TILE, F]
 
-            l_dst = jnp.dot(fd, mr, preferred_element_type=jnp.float32)  # [1, EC]
-            l_src = jnp.dot(fs, ms, preferred_element_type=jnp.float32)
+            l_dst = jnp.dot(fd, mr, preferred_element_type=jnp.float32, precision=precision)  # [1, EC]
+            l_src = jnp.dot(fs, ms, preferred_element_type=jnp.float32, precision=precision)
             pre = l_dst + l_src
             logit = jnp.where(pre >= 0, pre, alpha * pre)
             logit = jnp.where(v > 0, logit, NEG)
@@ -99,18 +102,23 @@ def _make_kernel(alpha: float, n_chunks: int, n_heads: int):
 
             mg = jnp.sum(mr * m_new, axis=0, keepdims=True)  # [1, EC]
             num = jnp.exp(logit - mg) * v  # [1, EC]
+            # reference dropout order (layers.py:150-160): denominator from
+            # PRE-dropout numerators, aggregation from dropped numerators
+            qnum = num * dropv
 
             g = jax.lax.dot_general(
                 ms, wh, (((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
+                preferred_element_type=jnp.float32, precision=precision,
             )  # [EC, F]
 
             num_col = num.reshape(EDGE_CHUNK, 1)
+            qnum_col = qnum.reshape(EDGE_CHUNK, 1)
             d_ref[h] = d_ref[h] * scale + jnp.dot(
-                mr, num_col, preferred_element_type=jnp.float32
+                mr, num_col, preferred_element_type=jnp.float32, precision=precision
             )
             o_ref[h] = o_ref[h] * scale + jnp.dot(
-                mr, num_col * g, preferred_element_type=jnp.float32
+                mr, qnum_col * g, preferred_element_type=jnp.float32,
+                precision=precision,
             )
             m_ref[h] = m_new
 
@@ -129,9 +137,19 @@ def fused_gat_attention_fwd(
     tiles: TiledGraph,
     *,
     alpha: float,
+    drop8: jax.Array | None = None,  # [C/8, 8, EC] numerator multiplier
     interpret: bool = False,
+    precision: str = "default",
 ) -> jax.Array:
-    """[H, N_pad, F]: attention-softmax-weighted neighbor aggregation (v1)."""
+    """[H, N_pad, F]: attention-softmax-weighted neighbor aggregation (v1).
+
+    ``precision``: 'default' uses the platform's MXU f32 mode (bf16-class
+    multiplies, ~1e-2 abs error vs exact — same regime as every other f32
+    matmul on TPU); 'highest' forces the f32x3 decomposition (~3x MXU cost,
+    ~1e-6 error) for parity testing.
+    """
+    prec = (jax.lax.Precision.HIGHEST if precision == "highest"
+            else jax.lax.Precision.DEFAULT)
     h, n_pad = f_dst.shape
     f = wh.shape[-1]
     n_tiles = tiles.n_tiles
@@ -149,6 +167,8 @@ def fused_gat_attention_fwd(
     recv8 = tiles.recv_local.reshape(c // 8, 8, EDGE_CHUNK)
     send8 = tiles.send_local.reshape(c // 8, 8, EDGE_CHUNK)
     valid8 = tiles.valid.reshape(c // 8, 8, EDGE_CHUNK)
+    if drop8 is None:
+        drop8 = valid8
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
@@ -157,6 +177,7 @@ def fused_gat_attention_fwd(
             pl.BlockSpec((1, h, TILE), lambda i, cr, cc: (cr[i], 0, 0)),
             pl.BlockSpec((1, h, TILE), lambda i, cr, cc: (cc[i], 0, 0)),
             pl.BlockSpec((h, TILE, f), lambda i, cr, cc: (0, cc[i], 0)),
+            pl.BlockSpec((1, 8, EDGE_CHUNK), lambda i, cr, cc: (i // 8, 0, 0)),
             pl.BlockSpec((1, 8, EDGE_CHUNK), lambda i, cr, cc: (i // 8, 0, 0)),
             pl.BlockSpec((1, 8, EDGE_CHUNK), lambda i, cr, cc: (i // 8, 0, 0)),
             pl.BlockSpec((1, 8, EDGE_CHUNK), lambda i, cr, cc: (i // 8, 0, 0)),
@@ -170,7 +191,7 @@ def fused_gat_attention_fwd(
     )
 
     return pl.pallas_call(
-        _make_kernel(alpha, c, h),
+        _make_kernel(alpha, c, h, prec),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((h, n_pad, f), jnp.float32),
         interpret=interpret,
@@ -183,4 +204,5 @@ def fused_gat_attention_fwd(
         recv8,
         send8,
         valid8,
+        drop8,
     )

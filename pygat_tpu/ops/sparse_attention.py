@@ -1,18 +1,25 @@
-"""Differentiable fused sparse attention op (v1 logits).
+"""Differentiable fused sparse attention op (v1 logits), dropout included.
 
 Forward: the Pallas fused kernel (pygat_tpu.ops.fused_attention) — SDDMM +
 online segment-softmax + SpMM in one pass, MXU-only.
 
+Attention dropout follows the reference exactly (layers.py:150-160): the
+softmax DENOMINATOR uses pre-dropout numerators; dropout multiplies the
+numerator used for aggregation. The keep mask is drawn with jax PRNG on the
+flat edge array and gathered into chunk layout via ``TiledGraph.edge_perm``,
+so the analytic backward reuses the identical mask.
+
 Backward: closed-form VJP in XLA segment ops on the flat COO arrays —
 replacing the reference's O(N^2)-dense SpecialSpmmFunction.backward
-(reference layers.py:80-90: it materializes grad_output @ b.T as a dense
-[N, N] and gathers; here every term stays O(E) or O(N F)):
+(reference layers.py:80-90). With q = keep/(1-p), att = softmax weights,
+attq = att*q:
 
-    datt[e] = <g[recv_e], wh[send_e]>                      (SDDMM)
-    dl[e]   = att[e] * (datt[e] - S[recv_e]),  S = seg_sum(att * datt)
-    dpre    = dl * leaky'(pre)
-    df_dst  = seg_sum_by_recv(dpre);  df_src = seg_sum_by_send(dpre)
-    dwh[s] += att[e] * g[recv_e]                           (SpMM^T)
+    dattq[e] = <g[recv_e], wh[send_e]>                      (SDDMM)
+    S[i]     = seg_sum(attq * dattq)
+    dl[e]    = attq[e]*dattq[e] - att[e]*S[recv_e]
+    dpre     = dl * leaky'(pre)
+    df_dst   = seg_sum_by_recv(dpre);  df_src = seg_sum_by_send(dpre)
+    dwh[s]  += attq[e] * g[recv_e]                          (SpMM^T)
 
 All integer topology arrays get None cotangents.
 """
@@ -31,7 +38,7 @@ from pygat_tpu.ops.tiles import TILE, TiledGraph
 
 
 def _attention_weights(f_dst, f_src, senders, receivers, edge_mask, alpha, n_pad):
-    """[E] attention (post-softmax) + residual terms, XLA segment ops."""
+    """[E] attention (post-softmax, pre-dropout) + the pre-activation."""
     pre = f_dst[receivers] + f_src[senders]
     logit = jnp.where(pre >= 0, pre, alpha * pre)
     num, den = segment_softmax_stable(logit, receivers, n_pad, edge_mask=edge_mask)
@@ -39,23 +46,34 @@ def _attention_weights(f_dst, f_src, senders, receivers, edge_mask, alpha, n_pad
     return att, pre
 
 
-def _xla_forward(f_dst, f_src, wh, senders, receivers, edge_mask, alpha):
+def _xla_forward(f_dst, f_src, wh, senders, receivers, edge_mask, alpha,
+                 keep_scaled=None):
+    """Head-batched XLA segment-op path (keep_scaled: [E] dropout multiplier
+    applied to the numerator only — None means no dropout)."""
     n_pad = f_dst.shape[-1]
 
     def head(fd, fs, w):
         att, _ = _attention_weights(fd, fs, senders, receivers, edge_mask, alpha, n_pad)
-        return segment_sum(att[:, None] * w[senders], receivers, n_pad)
+        attq = att if keep_scaled is None else att * keep_scaled
+        return segment_sum(attq[:, None] * w[senders], receivers, n_pad)
 
     return jax.vmap(head)(f_dst, f_src, wh)
 
 
-@partial(jax.custom_vjp, nondiff_argnums=(0, 1))
-def _fused_attention(alpha, interpret, f_dst, f_src, wh,
-                     chunk_row, chunk_col, recv8, send8, valid8,
-                     senders, receivers, edge_mask):
-    tiles = _tiles_view(chunk_row, chunk_col, recv8, send8, valid8, f_dst.shape[-1])
+def _chunked(arr2d):
+    c = arr2d.shape[0]
+    return arr2d.reshape(c // 8, 8, arr2d.shape[1])
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2))
+def _fused_attention(alpha, interpret, precision, f_dst, f_src, wh,
+                     chunk_row, chunk_col, recv8, send8, valid8, drop8,
+                     keep_scaled, senders, receivers, edge_mask):
+    tiles = _tiles_view(chunk_row, chunk_col, recv8, send8, valid8,
+                        f_dst.shape[-1])
     return fused_gat_attention_fwd(
-        f_dst, f_src, wh, tiles, alpha=alpha, interpret=interpret
+        f_dst, f_src, wh, tiles, drop8=drop8, alpha=alpha, interpret=interpret,
+        precision=precision,
     )
 
 
@@ -69,39 +87,42 @@ def _tiles_view(chunk_row, chunk_col, recv8, send8, valid8, n_pad) -> TiledGraph
         recv_local=recv8.reshape(c, ec),
         send_local=send8.reshape(c, ec),
         valid=valid8.reshape(c, ec),
+        edge_perm=recv8.reshape(c, ec),  # unused by the kernel
         n_tiles=n_pad // TILE,
     )
 
 
-def _fused_fwd(alpha, interpret, f_dst, f_src, wh,
-               chunk_row, chunk_col, recv8, send8, valid8,
-               senders, receivers, edge_mask):
-    out = _fused_attention(alpha, interpret, f_dst, f_src, wh,
-                           chunk_row, chunk_col, recv8, send8, valid8,
-                           senders, receivers, edge_mask)
-    return out, (f_dst, f_src, wh, senders, receivers, edge_mask)
+def _fused_fwd(alpha, interpret, precision, f_dst, f_src, wh,
+               chunk_row, chunk_col, recv8, send8, valid8, drop8,
+               keep_scaled, senders, receivers, edge_mask):
+    out = _fused_attention(alpha, interpret, precision, f_dst, f_src, wh,
+                           chunk_row, chunk_col, recv8, send8, valid8, drop8,
+                           keep_scaled, senders, receivers, edge_mask)
+    return out, (f_dst, f_src, wh, keep_scaled, senders, receivers, edge_mask)
 
 
-def _fused_bwd(alpha, interpret, res, g):
-    f_dst, f_src, wh, senders, receivers, edge_mask = res
+def _fused_bwd(alpha, interpret, precision, res, g):
+    f_dst, f_src, wh, keep_scaled, senders, receivers, edge_mask = res
     n_pad = f_dst.shape[-1]
 
     def head(fd, fs, w, gh):
         att, pre = _attention_weights(fd, fs, senders, receivers, edge_mask,
                                       alpha, n_pad)
-        datt = jnp.sum(gh[receivers] * w[senders], axis=-1)  # [E]
-        s = segment_sum(att * datt, receivers, n_pad)
-        dl = att * (datt - s[receivers])
+        attq = att * keep_scaled
+        dattq = jnp.sum(gh[receivers] * w[senders], axis=-1)  # [E]
+        s = segment_sum(attq * dattq, receivers, n_pad)
+        dl = attq * dattq - att * s[receivers]
         dpre = jnp.where(pre >= 0, dl, alpha * dl)
         dpre = jnp.where(edge_mask, dpre, 0.0)
         dfd = segment_sum(dpre, receivers, n_pad)
         dfs = segment_sum(dpre, senders, n_pad, sorted_ids=False)
-        dw = segment_sum(att[:, None] * gh[receivers], senders, n_pad,
+        dw = segment_sum(attq[:, None] * gh[receivers], senders, n_pad,
                          sorted_ids=False)
         return dfd, dfs, dw
 
     dfd, dfs, dwh = jax.vmap(head)(f_dst, f_src, wh, g)
-    return (dfd, dfs, dwh, None, None, None, None, None, None, None, None)
+    none = (None,) * 10
+    return (dfd, dfs, dwh) + none
 
 
 _fused_attention.defvjp(_fused_fwd, _fused_bwd)
@@ -117,25 +138,52 @@ def gat_attention_v1(
     alpha: float,
     backend: str = "xla",
     interpret: bool = False,
+    precision: str = "default",
+    dropout_rate: float = 0.0,
+    dropout_rng: jax.Array | None = None,
+    train: bool = False,
 ) -> jax.Array:
-    """Head-batched sparse GATv1 attention-aggregation, backend-dispatched."""
+    """Head-batched sparse GATv1 attention-aggregation, backend-dispatched.
+
+    One dropout mask is shared across heads here; the reference draws an
+    independent mask per head module — per-head masks are obtained by
+    calling this per head or by folding head into the edge dimension.
+    """
+    use_drop = train and dropout_rate > 0.0
+    keep_scaled = None
+    if use_drop:
+        if dropout_rng is None:
+            raise ValueError("dropout requires dropout_rng")
+        keep = jax.random.bernoulli(
+            dropout_rng, 1.0 - dropout_rate, shape=graph.senders.shape
+        )
+        keep_scaled = keep.astype(jnp.float32) / (1.0 - dropout_rate)
+
     if backend == "pallas":
         if tiles is None:
             raise ValueError("pallas backend requires a TiledGraph")
         f = wh.shape[-1]
         f_pad = -(-f // 128) * 128
         wh_p = wh if f == f_pad else jnp.pad(wh, ((0, 0), (0, 0), (0, f_pad - f)))
-        c = tiles.num_chunks
-        ec = tiles.recv_local.shape[1]
+        if keep_scaled is None:
+            drop_flat = tiles.valid  # 1.0 on real slots, 0 on padding
+        else:
+            perm = jnp.maximum(tiles.edge_perm, 0)
+            drop_flat = jnp.take(keep_scaled, perm) * tiles.valid
+        ks = keep_scaled if keep_scaled is not None else edge_ones(graph)
         out = _fused_attention(
-            alpha, interpret, f_dst, f_src, wh_p,
+            alpha, interpret, precision, f_dst, f_src, wh_p,
             tiles.chunk_row, tiles.chunk_col,
-            tiles.recv_local.reshape(c // 8, 8, ec),
-            tiles.send_local.reshape(c // 8, 8, ec),
-            tiles.valid.reshape(c // 8, 8, ec),
-            graph.senders, graph.receivers, graph.edge_mask,
+            _chunked(tiles.recv_local), _chunked(tiles.send_local),
+            _chunked(tiles.valid), _chunked(drop_flat),
+            ks, graph.senders, graph.receivers, graph.edge_mask,
         )
         return out[..., :f]
     return _xla_forward(
-        f_dst, f_src, wh, graph.senders, graph.receivers, graph.edge_mask, alpha
+        f_dst, f_src, wh, graph.senders, graph.receivers, graph.edge_mask,
+        alpha, keep_scaled=keep_scaled,
     )
+
+
+def edge_ones(graph: Graph) -> jax.Array:
+    return jnp.ones_like(graph.edge_weight)

@@ -50,6 +50,7 @@ class TiledGraph(NamedTuple):
     recv_local: jax.Array  # int32: receiver - I*TILE
     send_local: jax.Array  # int32: sender - J*TILE
     valid: jax.Array  # f32 1/0
+    edge_perm: jax.Array  # int32: original (graph COO) edge index; -1 padding
     n_tiles: int  # number of node tiles (N_pad / TILE)
 
     @property
@@ -67,6 +68,7 @@ def tile_graph(graph: Graph, *, pad_chunks_to: int | None = None) -> TiledGraph:
     ``pad_chunks_to`` (compile-count bucketing).
     """
     mask = np.asarray(graph.edge_mask)
+    orig_idx = np.flatnonzero(mask).astype(np.int64)
     senders = np.asarray(graph.senders)[mask].astype(np.int64)
     receivers = np.asarray(graph.receivers)[mask].astype(np.int64)
 
@@ -79,6 +81,7 @@ def tile_graph(graph: Graph, *, pad_chunks_to: int | None = None) -> TiledGraph:
     col_t = senders // TILE
     order = np.lexsort((senders, col_t, row_t))
     senders, receivers = senders[order], receivers[order]
+    orig_idx = orig_idx[order]
     row_t, col_t = row_t[order], col_t[order]
 
     e = len(senders)
@@ -110,9 +113,11 @@ def tile_graph(graph: Graph, *, pad_chunks_to: int | None = None) -> TiledGraph:
         recv_l = np.zeros((c_real, EDGE_CHUNK), np.int32)
         send_l = np.zeros((c_real, EDGE_CHUNK), np.int32)
         valid = np.zeros((c_real, EDGE_CHUNK), np.float32)
+        perm = np.full((c_real, EDGE_CHUNK), -1, np.int32)
         recv_l[edge_chunk_id, edge_slot] = (receivers - row_t * TILE).astype(np.int32)
         send_l[edge_chunk_id, edge_slot] = (senders - col_t * TILE).astype(np.int32)
         valid[edge_chunk_id, edge_slot] = 1.0
+        perm[edge_chunk_id, edge_slot] = orig_idx.astype(np.int32)
     else:
         c_real = 0
         chunk_row = np.zeros(0, np.int32)
@@ -120,6 +125,7 @@ def tile_graph(graph: Graph, *, pad_chunks_to: int | None = None) -> TiledGraph:
         recv_l = np.zeros((0, EDGE_CHUNK), np.int32)
         send_l = np.zeros((0, EDGE_CHUNK), np.int32)
         valid = np.zeros((0, EDGE_CHUNK), np.float32)
+        perm = np.full((0, EDGE_CHUNK), -1, np.int32)
 
     # every row tile must appear at least once (kernel init/flush contract)
     missing = np.setdiff1d(np.arange(n_tiles, dtype=np.int32),
@@ -130,9 +136,11 @@ def tile_graph(graph: Graph, *, pad_chunks_to: int | None = None) -> TiledGraph:
         recv_l = np.concatenate([recv_l, np.zeros((missing.size, EDGE_CHUNK), np.int32)])
         send_l = np.concatenate([send_l, np.zeros((missing.size, EDGE_CHUNK), np.int32)])
         valid = np.concatenate([valid, np.zeros((missing.size, EDGE_CHUNK), np.float32)])
+        perm = np.concatenate([perm, np.full((missing.size, EDGE_CHUNK), -1, np.int32)])
         order2 = np.argsort(chunk_row, kind="stable")
         chunk_row, chunk_col = chunk_row[order2], chunk_col[order2]
         recv_l, send_l, valid = recv_l[order2], send_l[order2], valid[order2]
+        perm = perm[order2]
 
     c = len(chunk_row)
     # pad to multiple of 8 (Mosaic (8, EDGE_CHUNK) block packing) and any
@@ -146,6 +154,7 @@ def tile_graph(graph: Graph, *, pad_chunks_to: int | None = None) -> TiledGraph:
         recv_l = np.concatenate([recv_l, np.zeros((extra, EDGE_CHUNK), np.int32)])
         send_l = np.concatenate([send_l, np.zeros((extra, EDGE_CHUNK), np.int32)])
         valid = np.concatenate([valid, np.zeros((extra, EDGE_CHUNK), np.float32)])
+        perm = np.concatenate([perm, np.full((extra, EDGE_CHUNK), -1, np.int32)])
 
     chunk_last = np.zeros(len(chunk_row), np.int32)
     chunk_last[-1] = 1
@@ -158,6 +167,7 @@ def tile_graph(graph: Graph, *, pad_chunks_to: int | None = None) -> TiledGraph:
         recv_local=jnp.asarray(recv_l),
         send_local=jnp.asarray(send_l),
         valid=jnp.asarray(valid),
+        edge_perm=jnp.asarray(perm),
         n_tiles=n_tiles,
     )
 

@@ -309,3 +309,46 @@ def fit_inductive(
         state=state,
         history=history,
     )
+
+
+def make_scanned_epochs(
+    cfg: GATConfig, tx: optax.GradientTransformation, n_epochs: int, tiles=None,
+    fastmode: bool = False,
+):
+    """One jitted program that runs ``n_epochs`` full train(+eval) epochs via
+    lax.scan — a single host dispatch per chunk of epochs.
+
+    This is both the honest device-throughput benchmark (host/tunnel dispatch
+    latency excluded) and the fast-training path on remote-attached TPUs:
+    the host only syncs once per chunk to apply early-stop/checkpoint policy.
+    Returns (state, (loss_train, acc_train, loss_val, acc_val)) with [n_epochs]
+    metric vectors.
+    """
+
+    def _loss(params, x, graph, labels, idx, key, train):
+        out = apply_gat(params, cfg, x, graph, key, train=train, tiles=tiles)
+        lp = log_logits(out)
+        return nll_loss(lp[idx], labels[idx]), (accuracy(lp[idx], labels[idx]), lp)
+
+    @jax.jit
+    def run(state: TrainState, x, graph: Graph, labels, idx_train, idx_val):
+        def epoch(state, _):
+            rng, key = jax.random.split(state.rng)
+            (loss_tr, (acc_tr, lp_tr)), grads = jax.value_and_grad(
+                _loss, has_aux=True
+            )(state.params, x, graph, labels, idx_train, key, True)
+            updates, opt_state = tx.update(grads, state.opt_state, state.params)
+            params = optax.apply_updates(state.params, updates)
+            state = TrainState(state.step + 1, params, opt_state, rng)
+            if fastmode:
+                loss_val = nll_loss(lp_tr[idx_val], labels[idx_val])
+                acc_val = accuracy(lp_tr[idx_val], labels[idx_val])
+            else:
+                loss_val, (acc_val, _) = _loss(
+                    params, x, graph, labels, idx_val, key, False
+                )
+            return state, (loss_tr, acc_tr, loss_val, acc_val)
+
+        return jax.lax.scan(epoch, state, None, length=n_epochs)
+
+    return run

@@ -149,3 +149,53 @@ def test_fused_attention_numerical_stability(small_graph, rng):
     o = gat_attention_v1(fd, fs, wh, g, tiles, alpha=0.2, backend="pallas",
                          interpret=True)
     assert bool(jnp.isfinite(o).all())
+
+
+def test_fused_dropout_matches_xla_same_mask(small_graph, rng):
+    """Attention dropout: both backends draw the keep mask from the same
+    jax PRNG key, so fused (interpret) and XLA must agree exactly."""
+    g, n, recv, send = small_graph
+    tiles = tile_graph(g)
+    H, F = 2, 128
+    fd = jnp.asarray(rng.standard_normal((H, 256)).astype(np.float32))
+    fs = jnp.asarray(rng.standard_normal((H, 256)).astype(np.float32))
+    wh = jnp.asarray(rng.standard_normal((H, 256, F)).astype(np.float32))
+    key = jax.random.PRNGKey(7)
+
+    o1 = gat_attention_v1(fd, fs, wh, g, tiles, alpha=0.2, backend="pallas",
+                          interpret=True, dropout_rate=0.5, dropout_rng=key,
+                          train=True)
+    o2 = gat_attention_v1(fd, fs, wh, g, None, alpha=0.2, backend="xla",
+                          dropout_rate=0.5, dropout_rng=key, train=True)
+    np.testing.assert_allclose(np.asarray(o1), np.asarray(o2), rtol=1e-4, atol=1e-5)
+    # and it must differ from the no-dropout output
+    o3 = gat_attention_v1(fd, fs, wh, g, tiles, alpha=0.2, backend="pallas",
+                          interpret=True)
+    assert float(jnp.abs(o1 - o3).max()) > 1e-3
+
+
+def test_fused_dropout_grads_match_xla(small_graph, rng):
+    g, n, recv, send = small_graph
+    tiles = tile_graph(g)
+    H, F = 2, 128
+    fd = jnp.asarray(rng.standard_normal((H, 256)).astype(np.float32))
+    fs = jnp.asarray(rng.standard_normal((H, 256)).astype(np.float32))
+    wh = jnp.asarray(rng.standard_normal((H, 256, F)).astype(np.float32))
+    key = jax.random.PRNGKey(3)
+
+    def lp(fd, fs, wh):
+        o = gat_attention_v1(fd, fs, wh, g, tiles, alpha=0.2, backend="pallas",
+                             interpret=True, dropout_rate=0.4, dropout_rng=key,
+                             train=True)
+        return jnp.sum(jnp.sin(o) * 0.1)
+
+    def lx(fd, fs, wh):
+        o = gat_attention_v1(fd, fs, wh, g, None, alpha=0.2, backend="xla",
+                             dropout_rate=0.4, dropout_rng=key, train=True)
+        return jnp.sum(jnp.sin(o) * 0.1)
+
+    g1 = jax.grad(lp, argnums=(0, 1, 2))(fd, fs, wh)
+    g2 = jax.grad(lx, argnums=(0, 1, 2))(fd, fs, wh)
+    for a, b in zip(g1, g2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-3, atol=1e-5)
