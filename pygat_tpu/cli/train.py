@@ -42,6 +42,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--jsonl", type=str, default=None, help="JSONL metrics path")
     p.add_argument("--log-every", type=int, default=1)
     p.add_argument("--data-root", type=str, default=None)
+    p.add_argument("--epoch-chunk", type=int, default=1,
+                   help=">1: run K epochs per device dispatch (lax.scan) with "
+                        "on-device best-params tracking — much faster wall "
+                        "clock on remote-attached TPUs; checkpoints at chunk "
+                        "boundaries instead of every epoch")
     return p
 
 
@@ -60,7 +65,7 @@ def main(argv=None) -> int:
     from pygat_tpu.models.presets import PRESETS, TRAIN_PRESETS
     from pygat_tpu.ops.dispatch import set_backend
     from pygat_tpu.train.logging import TrainLogger
-    from pygat_tpu.train.loop import fit_transductive
+    from pygat_tpu.train.loop import fit_transductive, fit_transductive_fast
 
     if args.backend:
         set_backend(args.backend)
@@ -86,9 +91,7 @@ def main(argv=None) -> int:
 
     print("start training")
     t0 = time.time()
-    result = fit_transductive(
-        cfg,
-        data,
+    common = dict(
         lr=tp["lr"],
         weight_decay=tp["weight_decay"],
         epochs=args.epochs,
@@ -100,6 +103,11 @@ def main(argv=None) -> int:
         logger=logger,
         log_every=args.log_every,
     )
+    if args.epoch_chunk > 1:
+        result = fit_transductive_fast(cfg, data, epoch_chunk=args.epoch_chunk,
+                                       **common)
+    else:
+        result = fit_transductive(cfg, data, **common)
     print("Optimization Finished!")
     print("Total time elapsed: {:.4f}s".format(time.time() - t0))
     print("Loading {}th epoch".format(result.best_epoch))

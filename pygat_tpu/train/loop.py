@@ -14,6 +14,7 @@ from typing import Any, Callable
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 import optax
 
 from pygat_tpu.data.citation import CitationDataset
@@ -352,3 +353,144 @@ def make_scanned_epochs(
         return jax.lax.scan(epoch, state, None, length=n_epochs)
 
     return run
+
+
+def make_scanned_epochs_with_best(
+    cfg: GATConfig, tx: optax.GradientTransformation, n_epochs: int, tiles=None,
+    fastmode: bool = False,
+):
+    """Chunked fast path: K epochs per dispatch AND on-device tracking of the
+    best-validation-loss parameters (the reference's save-every-epoch +
+    restore-best policy, train.py:201-233, without a host round trip per
+    epoch). Carry: (state, best_val, best_params, best_epoch)."""
+
+    def _loss(params, x, graph, labels, idx, key, train):
+        out = apply_gat(params, cfg, x, graph, key, train=train, tiles=tiles)
+        lp = log_logits(out)
+        return nll_loss(lp[idx], labels[idx]), (accuracy(lp[idx], labels[idx]), lp)
+
+    @jax.jit
+    def run(carry, x, graph: Graph, labels, idx_train, idx_val, max_epochs):
+        def epoch(carry, _):
+            state, best_val, best_params, best_epoch = carry
+            rng, key = jax.random.split(state.rng)
+            (loss_tr, (acc_tr, lp_tr)), grads = jax.value_and_grad(
+                _loss, has_aux=True
+            )(state.params, x, graph, labels, idx_train, key, True)
+            updates, opt_state = tx.update(grads, state.opt_state, state.params)
+            params = optax.apply_updates(state.params, updates)
+            state = TrainState(state.step + 1, params, opt_state, rng)
+            if fastmode:
+                loss_val = nll_loss(lp_tr[idx_val], labels[idx_val])
+                acc_val = accuracy(lp_tr[idx_val], labels[idx_val])
+            else:
+                loss_val, (acc_val, _) = _loss(
+                    params, x, graph, labels, idx_val, key, False
+                )
+            # epochs past the configured budget never update the best model
+            improved = (loss_val < best_val) & (state.step - 1 < max_epochs)
+            best_val = jnp.where(improved, loss_val, best_val)
+            best_epoch = jnp.where(improved, state.step - 1, best_epoch)
+            best_params = jax.tree_util.tree_map(
+                lambda new, old: jnp.where(improved, new, old), params, best_params
+            )
+            return (state, best_val, best_params, best_epoch), (
+                loss_tr, acc_tr, loss_val, acc_val,
+            )
+
+        return jax.lax.scan(epoch, carry, None, length=n_epochs)
+
+    return run
+
+
+def fit_transductive_fast(
+    cfg: GATConfig,
+    data: CitationDataset,
+    *,
+    lr: float,
+    weight_decay: float,
+    epochs: int,
+    patience: int,
+    seed: int = 72,
+    fastmode: bool = False,
+    epoch_chunk: int = 50,
+    checkpoint_dir: str | None = None,
+    dataset_tag: str = "cora",
+    logger: TrainLogger | None = None,
+    log_every: int = 50,
+    init_params: Any = None,
+) -> FitResult:
+    """Same policy/result as fit_transductive (best-val params are restored
+    exactly, tracked on device), but the host syncs once per ``epoch_chunk``
+    epochs: early stopping can overshoot by up to epoch_chunk-1 epochs of
+    extra compute, never changing the selected model. Checkpoints are
+    written at chunk boundaries (full state) rather than every epoch."""
+    from pygat_tpu.ops.dispatch import get_backend
+
+    logger = logger or TrainLogger()
+    tx = make_optimizer(lr, weight_decay)
+    key = jax.random.PRNGKey(seed)
+    key, init_key = jax.random.split(key)
+    params = init_params if init_params is not None else init_gat(init_key, cfg)
+    state = init_state(params, tx, key)
+    tiles = None
+    if get_backend() == "pallas" and cfg.layer_type == "GAT_sparse":
+        from pygat_tpu.ops.tiles import tile_graph
+
+        tiles = tile_graph(data.graph)
+
+    run = make_scanned_epochs_with_best(cfg, tx, epoch_chunk, tiles=tiles,
+                                        fastmode=fastmode)
+    _, eval_step = make_transductive_steps(cfg, tx, tiles=tiles)
+
+    x, g, labels = data.features, data.graph, data.labels
+    carry = (state, jnp.asarray(jnp.inf), params, jnp.asarray(-1, jnp.int32))
+
+    history: list[float] = []
+    t0 = time.time()
+    stopped = False
+    while len(history) < epochs and not stopped:
+        carry, metrics = run(carry, x, g, labels, data.idx_train, data.idx_val,
+                             jnp.asarray(epochs, jnp.int32))
+        # single bulk transfer per chunk (scalar reads are a round trip each
+        # on remote-attached devices)
+        metrics_h = jax.device_get(metrics)
+        chunk_tr, chunk_acc_tr, chunk_vals, chunk_acc_val = (
+            [float(v) for v in m] for m in metrics_h
+        )
+        for j, lv in enumerate(chunk_vals):
+            epoch_idx = len(history)
+            history.append(lv)
+            if epoch_idx % log_every == 0:
+                logger.log("epoch", epoch=epoch_idx, loss_train=chunk_tr[j],
+                           acc_train=chunk_acc_tr[j], loss_val=lv,
+                           acc_val=chunk_acc_val[j], time=time.time() - t0)
+                t0 = time.time()
+            # reference patience policy over the full history
+            best_so_far = min(history[: epoch_idx + 1])
+            since_best = epoch_idx - int(np.argmin(history[: epoch_idx + 1]))
+            if since_best >= patience:
+                stopped = True
+                break
+            if epoch_idx + 1 >= epochs:
+                break
+        if checkpoint_dir:
+            ckpt.save(checkpoint_dir, len(history) - 1, dataset_tag, carry[0])
+            ckpt.rotate_below_best(checkpoint_dir, dataset_tag, len(history) - 1)
+
+    state, best_val, best_params, best_epoch = carry
+    final_state = state._replace(params=best_params)
+    if checkpoint_dir:
+        ckpt.save(checkpoint_dir, int(best_epoch), dataset_tag + "-best", final_state)
+
+    test_loss, test_acc, _ = eval_step(best_params, x, g, labels, data.idx_test)
+    logger.log("test", loss=float(test_loss), accuracy=float(test_acc))
+    return FitResult(
+        best_epoch=int(best_epoch),
+        best_val_loss=float(best_val),
+        test_loss=float(test_loss),
+        test_acc=float(test_acc),
+        epochs_run=len(history),
+        state=final_state,
+        history=history,
+    )

@@ -149,3 +149,48 @@ def test_fit_transductive_learns_and_early_stops(tmp_path):
     # rotation left exactly the best checkpoint
     ckpts = ckpt.list_checkpoints(str(tmp_path), "unit")
     assert [e for e, _ in ckpts] == [res.best_epoch]
+
+
+def test_fit_fast_matches_classic(tmp_path):
+    """Chunked device-side fit must select the same best model as the
+    per-epoch host loop (same rng stream => identical epoch losses)."""
+    import jax.numpy as jnp
+
+    from pygat_tpu.data import synthetic
+    from pygat_tpu.data.citation import CitationDataset
+    from pygat_tpu.graph import build_graph
+    from pygat_tpu.models.gat import GATConfig
+    from pygat_tpu.train.logging import TrainLogger
+    from pygat_tpu.train.loop import fit_transductive, fit_transductive_fast
+
+    s, r, labels = synthetic.planted_partition_graph(200, 3, "fastfit", avg_degree=8)
+    s = np.concatenate([s, np.arange(200)])
+    r = np.concatenate([r, np.arange(200)])
+    g = build_graph(s, r, None, 200)
+    feats = synthetic.class_features(labels, 16, "fastfit", density=0.2)
+    n_pad = g.num_nodes_padded
+    x = np.zeros((n_pad, 128), np.float32)
+    x[:200, :16] = feats
+    lab = np.full(n_pad, -1, np.int32)
+    lab[:200] = labels
+    data = CitationDataset(
+        graph=g, features=jnp.asarray(x), labels=jnp.asarray(lab),
+        idx_train=jnp.arange(100), idx_val=jnp.arange(100, 150),
+        idx_test=jnp.arange(150, 200), num_classes=3, num_features=16,
+        synthetic_parts=("all",),
+    )
+    cfg = GATConfig(nlayers=2, nheads=(2, 1), nfeats=(128, 8, 3), dropout=0.4,
+                    alpha=0.2, layer_type="GAT_sparse")
+    quiet = TrainLogger(stream=open(os.devnull, "w"))
+    kw = dict(lr=0.01, weight_decay=5e-4, epochs=40, patience=15, seed=7,
+              checkpoint_dir=None, logger=quiet, log_every=100)
+    a = fit_transductive(cfg, data, **kw)
+    b = fit_transductive_fast(cfg, data, epoch_chunk=16, **kw)
+    # identical rng stream => identical per-epoch losses where both ran
+    n = min(len(a.history), len(b.history))
+    np.testing.assert_allclose(a.history[:n], b.history[:n], rtol=1e-5)
+    # fast mode may discover a strictly better val model in the patience
+    # overshoot window, never a worse one
+    assert b.best_val_loss <= a.best_val_loss + 1e-6
+    if b.best_epoch == a.best_epoch:
+        np.testing.assert_allclose(a.test_acc, b.test_acc, rtol=1e-5)
