@@ -43,6 +43,12 @@ class Graph(NamedTuple):
     node_mask: jax.Array  # [N_pad] bool
     n_node: jax.Array  # scalar int32, number of real nodes
     n_edge: jax.Array  # scalar int32, number of real edges
+    # CSC view (sender-sorted), for scatter-free sender-side reductions:
+    # col_perm[k] is the receiver-sorted edge index of the k-th edge in
+    # (sender, receiver) order; col_ptr is the CSR-style offset array over
+    # that order. None on hand-built graphs -> ops fall back to scatter.
+    col_perm: jax.Array | None = None  # [E_pad] int32
+    col_ptr: jax.Array | None = None  # [N_pad + 1] int32
 
     @property
     def num_nodes_padded(self) -> int:
@@ -141,6 +147,13 @@ def build_graph(
     node_mask = np.zeros((n_pad,), dtype=bool)
     node_mask[:num_nodes] = True
 
+    # CSC (sender-major) permutation + offsets; padding edges (sender ==
+    # dummy) sort last, into the dummy column segment.
+    col_perm = np.lexsort((receivers_p, senders_p)).astype(np.int32)
+    col_counts = np.bincount(senders_p, minlength=n_pad)
+    col_ptr = np.zeros((n_pad + 1,), dtype=np.int32)
+    np.cumsum(col_counts, out=col_ptr[1:])
+
     return Graph(
         senders=jnp.asarray(senders_p),
         receivers=jnp.asarray(receivers_p),
@@ -150,6 +163,8 @@ def build_graph(
         node_mask=jnp.asarray(node_mask),
         n_node=jnp.asarray(num_nodes, dtype=jnp.int32),
         n_edge=jnp.asarray(num_edges, dtype=jnp.int32),
+        col_perm=jnp.asarray(col_perm),
+        col_ptr=jnp.asarray(col_ptr),
     )
 
 

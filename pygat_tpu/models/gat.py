@@ -127,6 +127,12 @@ def apply_gat(
     """
     from pygat_tpu.models.layers import gat_v1_sparse_all_heads
     from pygat_tpu.ops.dispatch import get_backend
+    from pygat_tpu.utils.platform import dropout_key
+
+    if train and cfg.dropout > 0.0:
+        # hardware RNG (rbg) on TPU: threefry mask generation would dominate
+        # the train step (~19 ms vs ~2 ms for Pubmed-scale per-head masks)
+        rng = dropout_key(rng)
 
     use_fused = (
         get_backend(backend) == "pallas"
@@ -149,6 +155,21 @@ def apply_gat(
                 h = jnp.mean(outs, axis=0)
         return h
 
+    if cfg.layer_type == "GAT_sparse":
+        # head-batched TPU-layout path: heads folded into the minor axis
+        # (a per-head vmap would drown in [H, N, F_out] pad/relayout traffic)
+        from pygat_tpu.models.layers import gat_v1_sparse_heads
+
+        h = x
+        for i, layer_params in enumerate(params):
+            concat = i < cfg.nlayers - 1
+            rng, layer_key = jax.random.split(rng)
+            h = gat_v1_sparse_heads(
+                layer_params, h, graph, layer_key,
+                alpha=cfg.alpha, drop=cfg.dropout, concat=concat, train=train,
+            )
+        return h
+
     fn = _head_fn(cfg)
     if cfg.is_sparse:
         neighborhood: Any = graph
@@ -158,26 +179,39 @@ def apply_gat(
         # densified normalized adjacency (utils.py:55).
         neighborhood = graph.to_dense(binary=True) > 0
 
+    from pygat_tpu.models.layers import NO_MASKS, draw_masks
+
+    use_drop = train and cfg.dropout > 0.0
     h = x
     for i, layer_params in enumerate(params):
         concat = i < cfg.nlayers - 1
         n_heads = jax.tree_util.tree_leaves(layer_params)[0].shape[0]
         rng, layer_key = jax.random.split(rng)
-        head_keys = jax.random.split(layer_key, n_heads)
 
-        def run_head(p, k, h=h, concat=concat):
+        def run_head(p, m, h=h, concat=concat):
             return fn(
                 p,
                 h,
                 neighborhood,
-                k,
+                m,
                 alpha=cfg.alpha,
                 drop=cfg.dropout,
                 concat=concat,
                 train=train,
             )
 
-        outs = jax.vmap(run_head)(layer_params, head_keys)  # [H, N, F_out]
+        if use_drop:
+            # per-head masks drawn in ONE bernoulli per site ([H, ...]):
+            # vmapping per-head PRNG keys serializes the hardware generator
+            masks = draw_masks(
+                layer_key, cfg.layer_type, cfg.dropout,
+                n=h.shape[0], f_in=h.shape[1],
+                f_out=jax.tree_util.tree_leaves(layer_params)[0].shape[-1],
+                e=graph.num_edges_padded, heads=n_heads,
+            )
+            outs = jax.vmap(run_head)(layer_params, masks)  # [H, N, F_out]
+        else:
+            outs = jax.vmap(lambda p: run_head(p, NO_MASKS))(layer_params)
         if concat:
             # torch.cat(head outputs, dim=1): head-major feature blocks.
             h = jnp.moveaxis(outs, 0, 1).reshape(outs.shape[1], -1)

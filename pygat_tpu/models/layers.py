@@ -24,7 +24,13 @@ import jax
 import jax.numpy as jnp
 
 from pygat_tpu.graph import Graph
-from pygat_tpu.ops.segment import segment_softmax_stable, segment_sum
+from pygat_tpu.ops.segment import (
+    segment_softmax_stable,
+    segment_sum,
+    sorted_segment_sum,
+    take_receivers,
+    take_senders,
+)
 
 NEG_INF = -9e15  # reference's masking constant (layers.py:40)
 
@@ -47,6 +53,76 @@ def dropout(x, rate: float, rng, train: bool):
         return x
     keep = jax.random.bernoulli(rng, 1.0 - rate, shape=x.shape)
     return jnp.where(keep, x / (1.0 - rate), 0.0)
+
+
+class DropoutMasks(NamedTuple):
+    """Pre-drawn boolean keep masks for one layer's dropout sites.
+
+    Drawn batched over heads with ONE bernoulli call per site: on TPU,
+    per-head vmapped PRNG keys force a serialized rng-bit-generator per key
+    with the hardware (rbg) generator (~1000x slower than one batched draw);
+    a single [H, ...] draw keeps heads independent (reference semantics:
+    each head module calls F.dropout separately) at full speed.
+
+    ``m_proj2`` is the second-projection mask of the v2 variants
+    (reference layers.py:207-211 masks Wh1 AND Wh2); None for v1.
+    """
+
+    m_in: jax.Array | None  # [.., N, F_in]
+    m_proj: jax.Array | None  # [.., N, F_out]
+    m_proj2: jax.Array | None  # [.., N, F_out] (v2 only)
+    m_att: jax.Array | None  # [.., E] sparse / [.., N, N] dense
+
+
+NO_MASKS = DropoutMasks(None, None, None, None)
+
+
+def apply_mask(x, keep, rate: float):
+    """Inverted-dropout application of a pre-drawn boolean keep mask."""
+    if keep is None:
+        return x
+    return jnp.where(keep, x / (1.0 - rate), 0.0)
+
+
+def draw_masks(
+    key,
+    layer_type: str,
+    drop: float,
+    *,
+    n: int,
+    f_in: int,
+    f_out: int,
+    e: int,
+    heads: int | None = None,
+    train: bool = True,
+) -> DropoutMasks:
+    """Draw a layer's keep masks, optionally head-batched (``heads=H``)."""
+    if not train or drop <= 0.0:
+        return NO_MASKS
+    lead = () if heads is None else (heads,)
+    keep = 1.0 - drop
+    k1, k2, k3, k4 = jax.random.split(key, 4)
+    v2 = layer_type.startswith("GATv2")
+    sparse = layer_type.endswith("_sparse")
+    att_shape = lead + ((e,) if sparse else (n, n))
+    return DropoutMasks(
+        m_in=jax.random.bernoulli(k1, keep, lead + (n, f_in)),
+        m_proj=jax.random.bernoulli(k2, keep, lead + (n, f_out)),
+        m_proj2=jax.random.bernoulli(k3, keep, lead + (n, f_out)) if v2 else None,
+        m_att=jax.random.bernoulli(k4, keep, att_shape),
+    )
+
+
+def _coerce_masks(rng_or_masks, layer_type: str, drop: float, train: bool,
+                  n: int, f_in: int, f_out: int, e: int) -> DropoutMasks:
+    """Accept either pre-drawn DropoutMasks (the apply_gat fast path) or a
+    PRNG key (single-head convenience; draws unbatched masks)."""
+    if not train or drop <= 0.0:
+        return NO_MASKS
+    if isinstance(rng_or_masks, DropoutMasks):
+        return rng_or_masks
+    return draw_masks(rng_or_masks, layer_type, drop,
+                      n=n, f_in=f_in, f_out=f_out, e=e, train=train)
 
 
 def leaky_relu(x, alpha: float):
@@ -72,17 +148,18 @@ def gat_v1_dense(
     params: V1Params,
     h: jax.Array,  # [N, F_in]
     adj_mask: jax.Array,  # [N, N] bool; adj_mask[i, j] == edge j -> i
-    rng,
+    masks,  # DropoutMasks (pre-drawn) or a PRNG key, ignored unless train
     *,
     alpha: float,
     drop: float,
     concat: bool,
     train: bool,
 ) -> jax.Array:
-    k1, k2, k3 = jax.random.split(rng, 3)
-    h = dropout(h, drop, k1, train)
+    m = _coerce_masks(masks, "GAT", drop, train,
+                      h.shape[0], h.shape[1], params.W.shape[1], 0)
+    h = apply_mask(h, m.m_in, drop)
     Wh = h @ params.W
-    Wh = dropout(Wh, drop, k2, train)  # official-TF-repo placement (layers.py:37)
+    Wh = apply_mask(Wh, m.m_proj, drop)  # official-TF-repo placement (layers.py:37)
 
     f_out = params.W.shape[1]
     e_i = Wh @ params.a[:f_out]  # [N] receiver term  (reference Wh1)
@@ -91,7 +168,7 @@ def gat_v1_dense(
 
     att = jnp.where(adj_mask, e, NEG_INF)
     att = jax.nn.softmax(att, axis=1)
-    att = dropout(att, drop, k3, train)
+    att = apply_mask(att, m.m_att, drop)
     h_prime = att @ Wh
     return _finish(h_prime, h, params.skip, concat)
 
@@ -100,7 +177,7 @@ def gat_v2_dense(
     params: V2Params,
     h: jax.Array,
     adj_mask: jax.Array,
-    rng,
+    masks,
     *,
     alpha: float,
     drop: float,
@@ -111,18 +188,19 @@ def gat_v2_dense(
     ``e = leaky_relu(Wh1 + Wh2) @ a`` is per-node, so after the adjacency
     mask the row softmax is uniform over neighbors (SURVEY §2.4). The
     semantically-correct GATv2 lives in :func:`gat_v2_sparse`."""
-    k1, k2, k3, k4 = jax.random.split(rng, 4)
     f_in = h.shape[1]
-    h = dropout(h, drop, k1, train)
+    m = _coerce_masks(masks, "GATv2", drop, train,
+                      h.shape[0], f_in, params.W.shape[1], 0)
+    h = apply_mask(h, m.m_in, drop)
     Wh1 = h @ params.W[:f_in]  # left half
     Wh2 = h @ params.W[f_in:]  # right half
-    Wh1 = dropout(Wh1, drop, k2, train)
-    Wh2 = dropout(Wh2, drop, k3, train)
+    Wh1 = apply_mask(Wh1, m.m_proj, drop)
+    Wh2 = apply_mask(Wh2, m.m_proj2, drop)
 
     e = leaky_relu(Wh1 + Wh2, alpha) @ params.a  # [N]  (reference layers.py:212-214)
     att = jnp.where(adj_mask, e[:, None], NEG_INF)  # broadcast [N,1] vs [N,N]
     att = jax.nn.softmax(att, axis=1)
-    att = dropout(att, drop, k4, train)
+    att = apply_mask(att, m.m_att, drop)
     h_prime = att @ Wh2  # aggregates the RIGHT projection (layers.py:220)
     return _finish(h_prime, h, params.skip, concat)
 
@@ -136,24 +214,32 @@ def _sparse_attention_aggregate(
     edge_logits,  # [E] pre-softmax logits
     values,  # [N, F] per-node messages, gathered at senders
     graph: Graph,
-    rng,
+    m_att,  # [E] boolean keep mask or None
     *,
     drop: float,
-    train: bool,
 ):
     """Segment softmax over incoming edges + SpMM aggregation.
 
     Replaces the reference's scatter_max + exp + two SpecialSpmm calls
     (layers.py:145-160). The denominator uses PRE-dropout numerators and the
     numerator is dropped afterwards — exact reference order.
+
+    When the graph carries its CSC view (built by ``build_graph``), every
+    reduction and gather here (and in their VJPs) lowers to segmented scans
+    and gathers — no TPU scatter anywhere in the train step.
     """
     n_pad = graph.num_nodes_padded
+    fast = graph.col_perm is not None
     num, denom = segment_softmax_stable(
-        edge_logits, graph.receivers, n_pad, edge_mask=graph.edge_mask
+        edge_logits, graph.receivers, n_pad, edge_mask=graph.edge_mask,
+        row_ptr=graph.row_ptr if fast else None,
     )
-    num = dropout(num, drop, rng, train)
-    msgs = num[:, None] * values[graph.senders]  # [E, F]
-    h_prime = segment_sum(msgs, graph.receivers, n_pad)
+    num = apply_mask(num, m_att, drop)
+    if fast:
+        vals = take_senders(values, graph.senders, graph.col_perm, graph.col_ptr)
+        h_prime = sorted_segment_sum(num[:, None] * vals, graph.receivers, graph.row_ptr)
+    else:
+        h_prime = segment_sum(num[:, None] * values[graph.senders], graph.receivers, n_pad)
     # Reference divides with no guard (self-loops ensure denom > 0 on real
     # rows; layers.py:160); padding rows have denom == 0, clamp those.
     denom = jnp.where(denom > 0, denom, 1.0)
@@ -164,27 +250,35 @@ def gat_v1_sparse(
     params: V1Params,
     h: jax.Array,
     graph: Graph,
-    rng,
+    masks,
     *,
     alpha: float,
     drop: float,
     concat: bool,
     train: bool,
 ) -> jax.Array:
-    k1, k2, k3 = jax.random.split(rng, 3)
-    h = dropout(h, drop, k1, train)
+    m = _coerce_masks(masks, "GAT_sparse", drop, train,
+                      h.shape[0], h.shape[1], params.W.shape[1],
+                      graph.num_edges_padded)
+    h = apply_mask(h, m.m_in, drop)
     Wh = h @ params.W
-    Wh = dropout(Wh, drop, k2, train)
+    Wh = apply_mask(Wh, m.m_proj, drop)
 
     f_out = params.W.shape[1]
     # SDDMM-style decomposition: a^T [Wh_i || Wh_j] = <a_dst, Wh_i> + <a_src, Wh_j>
     # — never materializes the reference's [2F', E] concat (layers.py:141).
     f_dst = Wh @ params.a[:f_out]  # pairs Wh[edge dst] (reference edge[0])
     f_src = Wh @ params.a[f_out:]  # pairs Wh[edge src] (reference edge[1])
-    edge_logits = leaky_relu(f_dst[graph.receivers] + f_src[graph.senders], alpha)
+    if graph.col_perm is not None:
+        e_dst = take_receivers(f_dst, graph.receivers, graph.row_ptr)
+        e_src = take_senders(f_src, graph.senders, graph.col_perm, graph.col_ptr)
+    else:
+        e_dst = f_dst[graph.receivers]
+        e_src = f_src[graph.senders]
+    edge_logits = leaky_relu(e_dst + e_src, alpha)
 
     h_prime = _sparse_attention_aggregate(
-        edge_logits, Wh, graph, k3, drop=drop, train=train
+        edge_logits, Wh, graph, m.m_att, drop=drop
     )
     return _finish(h_prime, h, params.skip, concat)
 
@@ -193,6 +287,43 @@ def gat_v2_sparse(
     params: V2Params,
     h: jax.Array,
     graph: Graph,
+    masks,
+    *,
+    alpha: float,
+    drop: float,
+    concat: bool,
+    train: bool,
+) -> jax.Array:
+    f_in = h.shape[1]
+    m = _coerce_masks(masks, "GATv2_sparse", drop, train,
+                      h.shape[0], f_in, params.W.shape[1],
+                      graph.num_edges_padded)
+    h = apply_mask(h, m.m_in, drop)
+    Whi = h @ params.W[:f_in]  # left: gathered at the receiver i
+    Whj = h @ params.W[f_in:]  # right: gathered at the sender j
+    Whi = apply_mask(Whi, m.m_proj, drop)
+    Whj = apply_mask(Whj, m.m_proj2, drop)
+
+    # GATv2: LeakyReLU BEFORE the a-projection (reference layers.py:280-283).
+    if graph.col_perm is not None:
+        pre = take_receivers(Whi, graph.receivers, graph.row_ptr) + take_senders(
+            Whj, graph.senders, graph.col_perm, graph.col_ptr
+        )  # [E, F_out]
+    else:
+        pre = Whi[graph.receivers] + Whj[graph.senders]
+    edge_logits = leaky_relu(pre, alpha) @ params.a
+
+    # Aggregates the LEFT projection Whi of the sender (reference layers.py:296).
+    h_prime = _sparse_attention_aggregate(
+        edge_logits, Whi, graph, m.m_att, drop=drop
+    )
+    return _finish(h_prime, h, params.skip, concat)
+
+
+def gat_v1_sparse_heads(
+    params: V1Params,  # stacked [H, ...] leaves
+    h: jax.Array,  # [N, F_in] (or [N, H*F] from a previous concat layer)
+    graph: Graph,
     rng,
     *,
     alpha: float,
@@ -200,23 +331,93 @@ def gat_v2_sparse(
     concat: bool,
     train: bool,
 ) -> jax.Array:
-    k1, k2, k3, k4 = jax.random.split(rng, 4)
-    f_in = h.shape[1]
-    h = dropout(h, drop, k1, train)
-    Whi = h @ params.W[:f_in]  # left: gathered at the receiver i
-    Whj = h @ params.W[f_in:]  # right: gathered at the sender j
-    Whi = dropout(Whi, drop, k2, train)
-    Whj = dropout(Whj, drop, k3, train)
+    """Head-batched sparse GATv1 in TPU-friendly layouts (the XLA fast path).
 
-    # GATv2: LeakyReLU BEFORE the a-projection (reference layers.py:280-283).
-    pre = Whi[graph.receivers] + Whj[graph.senders]  # [E, F_out]
-    edge_logits = leaky_relu(pre, alpha) @ params.a
+    The naive per-head vmap produces [H, N, F_out] / [H, E, F_out] tensors
+    whose minor dimension is F_out (8 for the citation presets); the TPU
+    lane width is 128, so XLA pads every such tensor 16x and the train step
+    drowns in pad/slice/copy relayouts (profiled: >60% of step time on
+    Pubmed). Here heads stay folded into the minor axis:
 
-    # Aggregates the LEFT projection Whi of the sender (reference layers.py:296).
-    h_prime = _sparse_attention_aggregate(
-        edge_logits, Whi, graph, k4, drop=drop, train=train
-    )
-    return _finish(h_prime, h, params.skip, concat)
+    * projections: ``[N, H*F_out]`` (minor 64+), one MXU matmul when the
+      input is shared (eval) and one batched einsum when per-head input
+      dropout masks apply (train);
+    * per-node logit components: ``[H, N]``; per-edge values: ``[H, E]`` —
+      both minor-dim friendly;
+    * the neighbor gather and the segment-sum aggregation move ``[E, H*F]``
+      blocks, not H separate [E, F] ones.
+
+    Semantics match ``gat_v1_sparse`` per head (same math, same dropout
+    sites, per-head independent masks); returns the layer output directly:
+    ``[N, H*F_out]`` (ELU'd head-concat) when ``concat`` else the head-mean
+    ``[N, F_out]`` (reference models.py:32-34).
+    """
+    n_heads, f_in, f_out = params.W.shape
+    n = h.shape[0]
+    e_pad = graph.num_edges_padded
+    use_drop = train and drop > 0.0
+    k_in, k_proj, k_att = (jax.random.split(rng, 3) if use_drop
+                           else (None, None, None))
+    keep = 1.0 - drop
+
+    if use_drop:
+        # per-head masked inputs in [N, H, F_in] (minor dim stays F_in) and
+        # ONE block-diagonal matmul [N, H*F_in] @ [H*F_in, H*F_out]: a
+        # batched "hnf,hfo->nho" einsum would emit a lane-padded [N, H, 8]
+        # intermediate (16x relayout traffic); the 8x block-diag FLOP waste
+        # is trivial next to that.
+        keep_in = jax.random.bernoulli(k_in, keep, (n, n_heads, f_in))
+        x_h = jnp.where(keep_in, h[:, None, :] / keep, 0.0)  # [N, H, F_in]
+        w_bd = jnp.einsum("hfo,hk->hfko", params.W, jnp.eye(n_heads, dtype=params.W.dtype))
+        w_bd = w_bd.reshape(n_heads * f_in, n_heads * f_out)
+        wh = x_h.reshape(n, n_heads * f_in) @ w_bd  # [N, H*F]
+        keep_proj = jax.random.bernoulli(k_proj, keep, wh.shape)
+        wh = jnp.where(keep_proj, wh / keep, 0.0)  # [N, H*F]
+    else:
+        x_h = None
+        w2d = jnp.moveaxis(params.W, 0, 1).reshape(f_in, n_heads * f_out)
+        wh = h @ w2d  # [N, H*F] — one MXU matmul
+
+    wh3 = wh.reshape(n, n_heads, f_out)
+    f_dst = jnp.einsum("nho,ho->hn", wh3, params.a[:, :f_out])  # [H, N]
+    f_src = jnp.einsum("nho,ho->hn", wh3, params.a[:, f_out:])
+
+    logits = leaky_relu(
+        f_dst[:, graph.receivers] + f_src[:, graph.senders], alpha
+    )  # [H, E]
+    fast = graph.col_perm is not None
+    num, den = jax.vmap(
+        lambda lg: segment_softmax_stable(
+            lg, graph.receivers, n, edge_mask=graph.edge_mask,
+            row_ptr=graph.row_ptr if fast else None,
+        )
+    )(logits)  # [H, E], [H, N]
+    if use_drop:
+        keep_att = jax.random.bernoulli(k_att, keep, num.shape)
+        num = jnp.where(keep_att, num / keep, 0.0)
+
+    if fast:
+        gathered = take_senders(wh, graph.senders, graph.col_perm, graph.col_ptr)
+    else:
+        gathered = wh[graph.senders]  # [E, H*F]
+    msgs = (gathered.reshape(e_pad, n_heads, f_out)
+            * jnp.moveaxis(num, 0, 1)[:, :, None]).reshape(e_pad, n_heads * f_out)
+    if fast:
+        agg = sorted_segment_sum(msgs, graph.receivers, graph.row_ptr)
+    else:
+        agg = segment_sum(msgs, graph.receivers, n)  # [N, H*F]
+
+    den = jnp.where(den > 0, den, 1.0)
+    out = agg.reshape(n, n_heads, f_out) / jnp.moveaxis(den, 0, 1)[:, :, None]
+
+    if params.skip is not None:
+        if x_h is not None:
+            out = out + jnp.einsum("nhf,hfo->nho", x_h, params.skip)
+        else:
+            out = out + jnp.einsum("nf,hfo->nho", h, params.skip)
+    if concat:
+        return jax.nn.elu(out).reshape(n, n_heads * f_out)
+    return out.mean(axis=1)
 
 
 def gat_v1_sparse_all_heads(
@@ -247,11 +448,13 @@ def gat_v1_sparse_all_heads(
     k_in, k_proj, k_att = jax.random.split(rng, 3)
     use_drop = train and drop > 0.0
     if use_drop:
-        in_keys = jax.random.split(k_in, n_heads)
-        x_h = jax.vmap(lambda k: dropout(h, drop, k, True))(in_keys)  # [H, N, F_in]
+        # one batched draw per site (vmapped per-head keys serialize the
+        # hardware rng-bit-generator; see DropoutMasks)
+        keep_in = jax.random.bernoulli(k_in, 1.0 - drop, (n_heads,) + h.shape)
+        x_h = jnp.where(keep_in, h / (1.0 - drop), 0.0)  # [H, N, F_in]
         wh = jnp.einsum("hnf,hfo->hno", x_h, params.W)
-        proj_keys = jax.random.split(k_proj, n_heads)
-        wh = jax.vmap(lambda w, k: dropout(w, drop, k, True))(wh, proj_keys)
+        keep_proj = jax.random.bernoulli(k_proj, 1.0 - drop, wh.shape)
+        wh = jnp.where(keep_proj, wh / (1.0 - drop), 0.0)
     else:
         x_h = None
         wh = jnp.einsum("nf,hfo->hno", h, params.W)

@@ -33,29 +33,40 @@ import jax.numpy as jnp
 
 from pygat_tpu.graph import Graph
 from pygat_tpu.ops.fused_attention import fused_gat_attention_fwd
-from pygat_tpu.ops.segment import segment_softmax_stable, segment_sum
+from pygat_tpu.ops.segment import (
+    segment_softmax_stable,
+    segment_sum,
+    sender_segment_sum,
+    sorted_segment_sum,
+)
 from pygat_tpu.ops.tiles import TILE, TiledGraph
 
 
-def _attention_weights(f_dst, f_src, senders, receivers, edge_mask, alpha, n_pad):
+def _attention_weights(f_dst, f_src, senders, receivers, edge_mask, alpha, n_pad,
+                       row_ptr=None):
     """[E] attention (post-softmax, pre-dropout) + the pre-activation."""
     pre = f_dst[receivers] + f_src[senders]
     logit = jnp.where(pre >= 0, pre, alpha * pre)
-    num, den = segment_softmax_stable(logit, receivers, n_pad, edge_mask=edge_mask)
+    num, den = segment_softmax_stable(logit, receivers, n_pad, edge_mask=edge_mask,
+                                      row_ptr=row_ptr)
     att = num / jnp.where(den > 0, den, 1.0)[receivers]
     return att, pre
 
 
 def _xla_forward(f_dst, f_src, wh, senders, receivers, edge_mask, alpha,
-                 keep_scaled=None):
+                 keep_scaled=None, row_ptr=None):
     """Head-batched XLA segment-op path (keep_scaled: [E] dropout multiplier
     applied to the numerator only — None means no dropout)."""
     n_pad = f_dst.shape[-1]
 
     def head(fd, fs, w):
-        att, _ = _attention_weights(fd, fs, senders, receivers, edge_mask, alpha, n_pad)
+        att, _ = _attention_weights(fd, fs, senders, receivers, edge_mask, alpha,
+                                    n_pad, row_ptr=row_ptr)
         attq = att if keep_scaled is None else att * keep_scaled
-        return segment_sum(attq[:, None] * w[senders], receivers, n_pad)
+        msgs = attq[:, None] * w[senders]
+        if row_ptr is not None:
+            return sorted_segment_sum(msgs, receivers, row_ptr)
+        return segment_sum(msgs, receivers, n_pad)
 
     return jax.vmap(head)(f_dst, f_src, wh)
 
@@ -68,7 +79,8 @@ def _chunked(arr2d):
 @partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2))
 def _fused_attention(alpha, interpret, precision, f_dst, f_src, wh,
                      chunk_row, chunk_col, recv8, send8, valid8, drop8,
-                     keep_scaled, senders, receivers, edge_mask):
+                     keep_scaled, senders, receivers, edge_mask,
+                     row_ptr, col_perm, col_ptr):
     tiles = _tiles_view(chunk_row, chunk_col, recv8, send8, valid8,
                         f_dst.shape[-1])
     return fused_gat_attention_fwd(
@@ -94,34 +106,38 @@ def _tiles_view(chunk_row, chunk_col, recv8, send8, valid8, n_pad) -> TiledGraph
 
 def _fused_fwd(alpha, interpret, precision, f_dst, f_src, wh,
                chunk_row, chunk_col, recv8, send8, valid8, drop8,
-               keep_scaled, senders, receivers, edge_mask):
+               keep_scaled, senders, receivers, edge_mask,
+               row_ptr, col_perm, col_ptr):
     out = _fused_attention(alpha, interpret, precision, f_dst, f_src, wh,
                            chunk_row, chunk_col, recv8, send8, valid8, drop8,
-                           keep_scaled, senders, receivers, edge_mask)
-    return out, (f_dst, f_src, wh, keep_scaled, senders, receivers, edge_mask)
+                           keep_scaled, senders, receivers, edge_mask,
+                           row_ptr, col_perm, col_ptr)
+    return out, (f_dst, f_src, wh, keep_scaled, senders, receivers, edge_mask,
+                 row_ptr, col_perm, col_ptr)
 
 
 def _fused_bwd(alpha, interpret, precision, res, g):
-    f_dst, f_src, wh, keep_scaled, senders, receivers, edge_mask = res
+    (f_dst, f_src, wh, keep_scaled, senders, receivers, edge_mask,
+     row_ptr, col_perm, col_ptr) = res
     n_pad = f_dst.shape[-1]
 
     def head(fd, fs, w, gh):
         att, pre = _attention_weights(fd, fs, senders, receivers, edge_mask,
-                                      alpha, n_pad)
+                                      alpha, n_pad, row_ptr=row_ptr)
         attq = att * keep_scaled
         dattq = jnp.sum(gh[receivers] * w[senders], axis=-1)  # [E]
-        s = segment_sum(attq * dattq, receivers, n_pad)
+        s = sorted_segment_sum(attq * dattq, receivers, row_ptr)
         dl = attq * dattq - att * s[receivers]
         dpre = jnp.where(pre >= 0, dl, alpha * dl)
         dpre = jnp.where(edge_mask, dpre, 0.0)
-        dfd = segment_sum(dpre, receivers, n_pad)
-        dfs = segment_sum(dpre, senders, n_pad, sorted_ids=False)
-        dw = segment_sum(attq[:, None] * gh[receivers], senders, n_pad,
-                         sorted_ids=False)
+        dfd = sorted_segment_sum(dpre, receivers, row_ptr)
+        dfs = sender_segment_sum(dpre, senders, col_perm, col_ptr)
+        dw = sender_segment_sum(attq[:, None] * gh[receivers], senders,
+                                col_perm, col_ptr)
         return dfd, dfs, dw
 
     dfd, dfs, dwh = jax.vmap(head)(f_dst, f_src, wh, g)
-    none = (None,) * 10
+    none = (None,) * 13
     return (dfd, dfs, dwh) + none
 
 
@@ -177,11 +193,12 @@ def gat_attention_v1(
             _chunked(tiles.recv_local), _chunked(tiles.send_local),
             _chunked(tiles.valid), _chunked(drop_flat),
             ks, graph.senders, graph.receivers, graph.edge_mask,
+            graph.row_ptr, graph.col_perm, graph.col_ptr,
         )
         return out[..., :f]
     return _xla_forward(
         f_dst, f_src, wh, graph.senders, graph.receivers, graph.edge_mask,
-        alpha, keep_scaled=keep_scaled,
+        alpha, keep_scaled=keep_scaled, row_ptr=graph.row_ptr,
     )
 
 

@@ -38,6 +38,8 @@ def graph_pspecs(sharded: bool = True) -> Graph:
         node_mask=n,
         n_node=P(),
         n_edge=P(),
+        col_perm=e,
+        col_ptr=P(),
     )
 
 
