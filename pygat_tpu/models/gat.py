@@ -155,16 +155,17 @@ def apply_gat(
                 h = jnp.mean(outs, axis=0)
         return h
 
-    if cfg.layer_type == "GAT_sparse":
+    if cfg.is_sparse:
         # head-batched TPU-layout path: heads folded into the minor axis
         # (a per-head vmap would drown in [H, N, F_out] pad/relayout traffic)
-        from pygat_tpu.models.layers import gat_v1_sparse_heads
+        from pygat_tpu.models.layers import gat_v1_sparse_heads, gat_v2_sparse_heads
 
+        heads_fn = gat_v2_sparse_heads if cfg.is_v2 else gat_v1_sparse_heads
         h = x
         for i, layer_params in enumerate(params):
             concat = i < cfg.nlayers - 1
             rng, layer_key = jax.random.split(rng)
-            h = gat_v1_sparse_heads(
+            h = heads_fn(
                 layer_params, h, graph, layer_key,
                 alpha=cfg.alpha, drop=cfg.dropout, concat=concat, train=train,
             )

@@ -420,6 +420,96 @@ def gat_v1_sparse_heads(
     return out.mean(axis=1)
 
 
+def gat_v2_sparse_heads(
+    params: V2Params,  # stacked [H, ...] leaves; W [H, 2*F_in, F_out]
+    h: jax.Array,  # [N, F_in]
+    graph: Graph,
+    rng,
+    *,
+    alpha: float,
+    drop: float,
+    concat: bool,
+    train: bool,
+) -> jax.Array:
+    """Head-batched sparse GATv2 in TPU-friendly layouts (see
+    :func:`gat_v1_sparse_heads` for the layout rationale). Per-head math is
+    ``gat_v2_sparse`` exactly: LeakyReLU before the a-projection (reference
+    layers.py:280-283), aggregation of the LEFT projection Whi gathered at
+    senders (layers.py:296); dropout on the input, both projections, and
+    the attention numerator, with a pre-dropout softmax denominator."""
+    n_heads, two_f_in, f_out = params.W.shape
+    f_in = two_f_in // 2
+    n = h.shape[0]
+    e_pad = graph.num_edges_padded
+    hf = n_heads * f_out
+    use_drop = train and drop > 0.0
+    keep = 1.0 - drop
+    if use_drop:
+        k_in, k_i, k_j, k_att = jax.random.split(rng, 4)
+        keep_in = jax.random.bernoulli(k_in, keep, (n, n_heads, f_in))
+        x_h = jnp.where(keep_in, h[:, None, :] / keep, 0.0)  # [N, H, F_in]
+        eye = jnp.eye(n_heads, dtype=params.W.dtype)
+        wi_bd = jnp.einsum("hfo,hk->hfko", params.W[:, :f_in], eye).reshape(
+            n_heads * f_in, hf)
+        wj_bd = jnp.einsum("hfo,hk->hfko", params.W[:, f_in:], eye).reshape(
+            n_heads * f_in, hf)
+        x2 = x_h.reshape(n, n_heads * f_in)
+        whi = x2 @ wi_bd  # [N, H*F]
+        whj = x2 @ wj_bd
+        whi = jnp.where(jax.random.bernoulli(k_i, keep, whi.shape), whi / keep, 0.0)
+        whj = jnp.where(jax.random.bernoulli(k_j, keep, whj.shape), whj / keep, 0.0)
+    else:
+        x_h = None
+        wi2d = jnp.moveaxis(params.W[:, :f_in], 0, 1).reshape(f_in, hf)
+        wj2d = jnp.moveaxis(params.W[:, f_in:], 0, 1).reshape(f_in, hf)
+        whi = h @ wi2d
+        whj = h @ wj2d
+
+    fast = graph.col_perm is not None
+    if fast:
+        pre_i = take_receivers(whi, graph.receivers, graph.row_ptr)
+        pre_j = take_senders(whj, graph.senders, graph.col_perm, graph.col_ptr)
+    else:
+        pre_i = whi[graph.receivers]
+        pre_j = whj[graph.senders]
+    pre = leaky_relu(pre_i + pre_j, alpha)  # [E, H*F]
+    logits = jnp.einsum("ehf,hf->he", pre.reshape(e_pad, n_heads, f_out),
+                        params.a)  # [H, E]
+
+    num, den = jax.vmap(
+        lambda lg: segment_softmax_stable(
+            lg, graph.receivers, n, edge_mask=graph.edge_mask,
+            row_ptr=graph.row_ptr if fast else None,
+        )
+    )(logits)  # [H, E], [H, N]
+    if use_drop:
+        keep_att = jax.random.bernoulli(k_att, keep, num.shape)
+        num = jnp.where(keep_att, num / keep, 0.0)
+
+    if fast:
+        gathered = take_senders(whi, graph.senders, graph.col_perm, graph.col_ptr)
+    else:
+        gathered = whi[graph.senders]  # [E, H*F]
+    msgs = (gathered.reshape(e_pad, n_heads, f_out)
+            * jnp.moveaxis(num, 0, 1)[:, :, None]).reshape(e_pad, hf)
+    if fast:
+        agg = sorted_segment_sum(msgs, graph.receivers, graph.row_ptr)
+    else:
+        agg = segment_sum(msgs, graph.receivers, n)  # [N, H*F]
+
+    den = jnp.where(den > 0, den, 1.0)
+    out = agg.reshape(n, n_heads, f_out) / jnp.moveaxis(den, 0, 1)[:, :, None]
+
+    if params.skip is not None:
+        if x_h is not None:
+            out = out + jnp.einsum("nhf,hfo->nho", x_h, params.skip)
+        else:
+            out = out + jnp.einsum("nf,hfo->nho", h, params.skip)
+    if concat:
+        return jax.nn.elu(out).reshape(n, hf)
+    return out.mean(axis=1)
+
+
 def gat_v1_sparse_all_heads(
     params: V1Params,  # stacked [H, ...] leaves
     h: jax.Array,  # [N, F_in]

@@ -133,3 +133,34 @@ def test_heads_batched_path_matches_per_head_vmap(random_graph_tuple, rng):
              if concat else outs.mean(axis=0))
 
     np.testing.assert_allclose(np.asarray(out), np.asarray(x), atol=2e-5)
+
+
+def test_heads_batched_v2_matches_per_head_vmap(random_graph_tuple, rng):
+    """apply_gat's head-batched GATv2_sparse path == per-head gat_v2_sparse
+    composition (dropout off)."""
+    import jax
+
+    from pygat_tpu.models.gat import GATConfig, apply_gat, init_gat
+
+    send, recv, w, n = random_graph_tuple
+    g = build_graph(send, recv, w, n)
+    f_in = 10
+    cfg = GATConfig(nlayers=2, nheads=(4, 2), nfeats=(f_in, 6, 3),
+                    dropout=0.0, alpha=0.2, layer_type="GATv2_sparse",
+                    skip_connection=True)
+    params = init_gat(jax.random.PRNGKey(11), cfg)
+    h = jnp.asarray(rng.standard_normal((g.num_nodes_padded, f_in)).astype(np.float32))
+
+    out = apply_gat(params, cfg, h, g, jax.random.PRNGKey(0), train=False)
+
+    x = h
+    for i, lp in enumerate(params):
+        concat = i < cfg.nlayers - 1
+        outs = jax.vmap(
+            lambda p: gat_v2_sparse(p, x, g, None, alpha=cfg.alpha, drop=0.0,
+                                    concat=concat, train=False)
+        )(lp)
+        x = (jnp.moveaxis(outs, 0, 1).reshape(outs.shape[1], -1)
+             if concat else outs.mean(axis=0))
+
+    np.testing.assert_allclose(np.asarray(out), np.asarray(x), atol=2e-5)
