@@ -178,24 +178,20 @@ def gat_attention_v1(
     if backend == "pallas":
         if tiles is None:
             raise ValueError("pallas backend requires a TiledGraph")
-        f = wh.shape[-1]
-        f_pad = -(-f // 128) * 128
-        wh_p = wh if f == f_pad else jnp.pad(wh, ((0, 0), (0, 0), (0, f_pad - f)))
         if keep_scaled is None:
             drop_flat = tiles.valid  # 1.0 on real slots, 0 on padding
         else:
             perm = jnp.maximum(tiles.edge_perm, 0)
             drop_flat = jnp.take(keep_scaled, perm) * tiles.valid
         ks = keep_scaled if keep_scaled is not None else edge_ones(graph)
-        out = _fused_attention(
-            alpha, interpret, precision, f_dst, f_src, wh_p,
+        return _fused_attention(
+            alpha, interpret, precision, f_dst, f_src, wh,
             tiles.chunk_row, tiles.chunk_col,
             _chunked(tiles.recv_local), _chunked(tiles.send_local),
             _chunked(tiles.valid), _chunked(drop_flat),
             ks, graph.senders, graph.receivers, graph.edge_mask,
             graph.row_ptr, graph.col_perm, graph.col_ptr,
         )
-        return out[..., :f]
     return _xla_forward(
         f_dst, f_src, wh, graph.senders, graph.receivers, graph.edge_mask,
         alpha, keep_scaled=keep_scaled, row_ptr=graph.row_ptr,
