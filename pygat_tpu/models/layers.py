@@ -367,10 +367,14 @@ def gat_v1_sparse_heads(
         # intermediate (16x relayout traffic); the 8x block-diag FLOP waste
         # is trivial next to that.
         keep_in = jax.random.bernoulli(k_in, keep, (n, n_heads, f_in))
-        x_h = jnp.where(keep_in, h[:, None, :] / keep, 0.0)  # [N, H, F_in]
+        # bf16 storage for the masked copies: the MXU's DEFAULT-precision
+        # f32 matmul already multiplies at bf16-class precision, so this
+        # loses nothing while halving the [N, H, F_in] HBM traffic
+        x_h = jnp.where(keep_in, h[:, None, :] / keep, 0.0).astype(jnp.bfloat16)
         w_bd = jnp.einsum("hfo,hk->hfko", params.W, jnp.eye(n_heads, dtype=params.W.dtype))
         w_bd = w_bd.reshape(n_heads * f_in, n_heads * f_out)
-        wh = x_h.reshape(n, n_heads * f_in) @ w_bd  # [N, H*F]
+        wh = jnp.dot(x_h.reshape(n, n_heads * f_in), w_bd.astype(jnp.bfloat16),
+                     preferred_element_type=jnp.float32)  # [N, H*F] f32
         keep_proj = jax.random.bernoulli(k_proj, keep, wh.shape)
         wh = jnp.where(keep_proj, wh / keep, 0.0)  # [N, H*F]
     else:
@@ -412,7 +416,9 @@ def gat_v1_sparse_heads(
 
     if params.skip is not None:
         if x_h is not None:
-            out = out + jnp.einsum("nhf,hfo->nho", x_h, params.skip)
+            out = out + jnp.einsum("nhf,hfo->nho", x_h,
+                                   params.skip.astype(x_h.dtype),
+                                   preferred_element_type=jnp.float32)
         else:
             out = out + jnp.einsum("nf,hfo->nho", h, params.skip)
     if concat:
