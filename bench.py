@@ -27,7 +27,7 @@ BASELINE_MS = 80.0  # reference sparse Cora epoch, fast end (README.md:30)
 N_EPOCHS = 100
 
 
-def _time_backend(backend: str) -> float:
+def _time_backend(backend: str, reorder: bool = False) -> float:
     import jax
 
     from pygat_tpu.data.citation import load_citation
@@ -38,7 +38,8 @@ def _time_backend(backend: str) -> float:
     from pygat_tpu.train.state import init_state, make_optimizer
 
     set_backend(backend)
-    data = load_citation("cora")
+    # reorder: isomorphic RCM node relabeling (see data.citation.load_citation)
+    data = load_citation("cora", reorder=reorder)
     cfg = GATConfig(layer_type="GAT_sparse", **PRESETS["cora"])
     cfg = cfg._replace(nfeats=(int(data.features.shape[1]),) + cfg.nfeats[1:])
     tp = TRAIN_PRESETS["cora"]
@@ -74,9 +75,9 @@ def main() -> int:
     import jax
 
     results = {}
-    for backend in ("xla", "pallas"):
+    for backend, reorder in (("xla", False), ("xla-rcm", True), ("pallas-rcm", True)):
         try:
-            results[backend] = _time_backend(backend)
+            results[backend] = _time_backend(backend.split("-")[0], reorder=reorder)
         except Exception as exc:  # pallas may be unavailable off-TPU
             print(f"[bench] backend {backend} failed: {exc}", file=sys.stderr)
     if not results:

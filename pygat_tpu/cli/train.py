@@ -42,6 +42,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--jsonl", type=str, default=None, help="JSONL metrics path")
     p.add_argument("--log-every", type=int, default=1)
     p.add_argument("--data-root", type=str, default=None)
+    p.add_argument("--reorder", action="store_true", default=False,
+                   help="RCM node relabeling (isomorphic; packs neighborhoods "
+                        "into few 128-node tiles — recommended with "
+                        "--backend pallas)")
     p.add_argument("--epoch-chunk", type=int, default=1,
                    help=">1: run K epochs per device dispatch (lax.scan) with "
                         "on-device best-params tracking — much faster wall "
@@ -70,7 +74,8 @@ def main(argv=None) -> int:
     if args.backend:
         set_backend(args.backend)
 
-    data = load_citation(args.dataset, data_root=args.data_root)
+    data = load_citation(args.dataset, data_root=args.data_root,
+                         reorder=args.reorder)
     stats = dataset_stats(data)
     print(f"Number of nodes: {stats['nodes']}")
     print(f"Number of edges: {stats['edges']}")

@@ -201,7 +201,17 @@ def _load_dgl_export(name: str, roots: list[str], n_feat: int, n_classes: int):
     return adj, feats, labels, idx["train"], idx["val"], idx["test"], tuple(synth)
 
 
-def load_citation(dataset: str, data_root: str | None = None) -> CitationDataset:
+def load_citation(dataset: str, data_root: str | None = None,
+                  reorder: bool = False) -> CitationDataset:
+    """Load a citation dataset.
+
+    ``reorder=True`` relabels nodes in RCM order (native C++ graphops, numpy
+    fallback) before building the padded Graph: an isomorphic relabeling
+    (features/labels/splits permute along), it packs neighborhoods into few
+    128-node tiles — raising the Pallas BCSR edge-slot utilization (Cora:
+    0.24 -> see tile_stats) at zero semantic cost. Default off to preserve
+    the reference's node numbering (e.g. Cora train split == range(140)).
+    """
     roots = _search_roots(data_root)
 
     if dataset == "cora":
@@ -229,6 +239,25 @@ def load_citation(dataset: str, data_root: str | None = None) -> CitationDataset
     adj = symmetrize(adj)
     features = normalize_features(features)
     adj_norm = normalize_adj_with_self_loops(adj)
+
+    if reorder:
+        from pygat_tpu.native import apply_reorder, rcm_order
+
+        csr = adj_norm.tocsr()
+        order = rcm_order(csr.indptr.astype(np.int32),
+                          csr.indices.astype(np.int32), n)
+        coo = csr.tocoo()
+        # adj[i, j] => edge j->i; senders=col, receivers=row (graph.from_scipy)
+        new_row, new_col, inverse = apply_reorder(
+            order.astype(np.int64), coo.row.astype(np.int64),
+            coo.col.astype(np.int64))
+        adj_norm = sp.coo_matrix((coo.data, (new_row, new_col)), shape=(n, n))
+        features = (features.tocsr() if sp.issparse(features) else
+                    np.asarray(features))[order]
+        labels = np.asarray(labels)[order]
+        idx_train = inverse[np.asarray(idx_train, dtype=np.int64)]
+        idx_val = inverse[np.asarray(idx_val, dtype=np.int64)]
+        idx_test = inverse[np.asarray(idx_test, dtype=np.int64)]
 
     graph = from_scipy(adj_norm.tocsr())
     n_pad = graph.num_nodes_padded
