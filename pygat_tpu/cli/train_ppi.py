@@ -40,6 +40,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--jsonl", type=str, default=None)
     p.add_argument("--quiet-batches", action="store_true", default=False)
     p.add_argument("--data-root", type=str, default=None)
+    p.add_argument("--epoch-scan", action="store_true", default=False,
+                   help="one device dispatch per train/eval epoch (lax.scan "
+                        "over stacked batches) — much faster wall clock on "
+                        "remote-attached TPUs; per-epoch logs only")
     return p
 
 
@@ -57,7 +61,7 @@ def main(argv=None) -> int:
     from pygat_tpu.models.presets import PRESETS, TRAIN_PRESETS
     from pygat_tpu.ops.dispatch import set_backend
     from pygat_tpu.train.logging import TrainLogger
-    from pygat_tpu.train.loop import fit_inductive
+    from pygat_tpu.train.loop import fit_inductive, fit_inductive_fast
     from pygat_tpu.utils.padding import round_up
 
     if args.backend:
@@ -75,9 +79,7 @@ def main(argv=None) -> int:
     logger = TrainLogger(jsonl_path=args.jsonl)
 
     t0 = time.time()
-    result = fit_inductive(
-        cfg,
-        data,
+    common = dict(
         batch_size=args.batch_size,
         lr=tp["lr"],
         weight_decay=tp["weight_decay"],
@@ -87,8 +89,12 @@ def main(argv=None) -> int:
         checkpoint_dir=None if args.no_checkpoint else args.checkpoint_dir,
         dataset_tag="ppi",
         logger=logger,
-        log_batches=not args.quiet_batches,
     )
+    if args.epoch_scan:
+        result = fit_inductive_fast(cfg, data, **common)
+    else:
+        result = fit_inductive(cfg, data, log_batches=not args.quiet_batches,
+                               **common)
     print("Optimization Finished!")
     print("Total time elapsed: {:.4f}s".format(time.time() - t0))
     print("Loading {}th epoch".format(result.best_epoch))

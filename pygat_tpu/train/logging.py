@@ -45,6 +45,18 @@ class TrainLogger:
             return "Test set results: loss= {:.4f} accuracy= {:.4f}".format(
                 fields["loss"], fields["accuracy"]
             )
+        if kind == "ppi_epoch":
+            return (
+                "Epoch: {:04d} loss_train: {:.4f} f1_train: {:.4f} "
+                "loss_val: {:.4f} f1_val: {:.4f} time: {:.4f}s".format(
+                    fields["epoch"] + 1,
+                    fields["loss_train"],
+                    fields["f1_train"],
+                    fields["loss_val"],
+                    fields["f1_val"],
+                    fields["time"],
+                )
+            )
         if kind == "ppi_batch":
             return (
                 "[{split}] Epoch: {epoch:04d} Batch: {batch:04d} "

@@ -118,3 +118,48 @@ def test_inductive_fit_smoke(tmp_path):
     assert res.test_acc > 0.5, f"micro-F1 too low: {res.test_acc}"
     from pygat_tpu.train import checkpoint as ckpt
     assert [e for e, _ in ckpt.list_checkpoints(str(tmp_path), "ppi")] == [res.best_epoch]
+
+
+def test_inductive_fast_matches_classic(tmp_path):
+    """fit_inductive_fast (scan-over-stacked-batches, one dispatch/epoch)
+    reproduces fit_inductive exactly: same batches, same math, dropout off."""
+    import os
+
+    from pygat_tpu.data.ppi import PPIData
+    from pygat_tpu.data.synthetic import planted_partition_graph
+    from pygat_tpu.models.gat import GATConfig
+    from pygat_tpu.train.logging import TrainLogger
+    from pygat_tpu.train.loop import fit_inductive, fit_inductive_fast
+    import scipy.sparse as sp
+    from pygat_tpu.data.preprocess import normalize_adj
+
+    rng = np.random.default_rng(0)
+    R = rng.standard_normal((16, 6)).astype(np.float32)
+
+    def mk(n, name):
+        s, r, _ = planted_partition_graph(n, 3, name, avg_degree=6)
+        adj = sp.coo_matrix((np.ones(len(s), np.float32), (r, s)), shape=(n, n)).tocsr()
+        adj.data[:] = 1.0
+        adj = normalize_adj(adj + sp.eye(n, format="csr", dtype=np.float32)).tocoo()
+        feats = rng.standard_normal((n, 16)).astype(np.float32)
+        labels = (feats @ R > 0.5).astype(np.float32)
+        return PPIGraph(feats, labels, adj.col.astype(np.int64),
+                        adj.row.astype(np.int64), adj.data.astype(np.float32), n)
+
+    data = PPIData(
+        train=[mk(40, f"t{i}") for i in range(4)],
+        valid=[mk(30, "v0"), mk(35, "v1")],
+        test=[mk(30, "x0"), mk(25, "x1")],
+        synthetic_parts=("all",),
+    )
+    cfg = GATConfig(nlayers=2, nheads=(2, 2), nfeats=(128, 16, 6), dropout=0.0,
+                    alpha=0.2, layer_type="GAT_sparse", skip_connection=True)
+    kw = dict(batch_size=2, lr=0.01, weight_decay=0.0, epochs=8, patience=8,
+              checkpoint_dir=None,
+              logger=TrainLogger(stream=open(os.devnull, "w")))
+    a = fit_inductive(cfg, data, log_batches=False, **kw)
+    b = fit_inductive_fast(cfg, data, **kw)
+    np.testing.assert_allclose(np.asarray(b.history), np.asarray(a.history),
+                               rtol=2e-4)
+    assert a.best_epoch == b.best_epoch
+    np.testing.assert_allclose(b.test_acc, a.test_acc, atol=2e-3)
