@@ -32,6 +32,46 @@ def annotate(name: str):
         yield
 
 
+def top_ops(trace_dir: str, k: int = 25) -> list[tuple[str, float]]:
+    """Parse the newest Perfetto trace under ``trace_dir`` and return the
+    top-k (op name, total ms) device entries — a TensorBoard-free way to see
+    where a step spends its time (this is how the pad/relayout and RNG
+    pathologies in README 'Benchmarks' were found)."""
+    import collections
+    import glob
+    import gzip
+    import json
+    import os
+
+    files = sorted(
+        glob.glob(os.path.join(trace_dir, "**", "*.trace.json.gz"), recursive=True),
+        key=os.path.getmtime,
+        reverse=True,
+    )
+    if not files:
+        raise FileNotFoundError(f"no *.trace.json.gz under {trace_dir}")
+    events = json.load(gzip.open(files[0]))["traceEvents"]
+    total = collections.Counter()
+    for e in events:
+        if e.get("ph") == "X" and "dur" in e:
+            name = e.get("name", "?")
+            if name.startswith("$") or name.startswith("jit_"):
+                continue  # python frames / whole-program entries
+            total[name] += e["dur"]
+    return [(name, d / 1e3) for name, d in total.most_common(k)]
+
+
+def profile_top_ops(fn: Callable, *args, trace_dir: str = "/tmp/pygat_trace",
+                    k: int = 25) -> list[tuple[str, float]]:
+    """Run ``fn(*args)`` once under a device trace and return its top ops."""
+    out = fn(*args)  # warmup/compile outside the trace
+    jax.block_until_ready(out)
+    with trace(trace_dir):
+        out = fn(*args)
+        jax.block_until_ready(out)
+    return top_ops(trace_dir, k=k)
+
+
 class StepTimer:
     """Wall-clock step timing with explicit device sync.
 
