@@ -83,3 +83,57 @@ def checkify_step(step_fn: Callable) -> Callable:
         return out
 
     return wrapped
+
+
+def main(argv=None) -> int:
+    """Runnable computation-graph dumper — the working equivalent of the
+    reference's visualize_graph.py (which crashes on a stale models.SpGAT
+    import, reference visualize_graph.py:57). Dumps the flagship forward's
+    jaxpr, lowered HLO, and primitive histogram for any dataset/model."""
+    import argparse
+
+    p = argparse.ArgumentParser(description=main.__doc__)
+    p.add_argument("--dataset", default="cora",
+                   choices=["cora", "citeseer", "pubmed"])
+    p.add_argument("--model", default="GAT_sparse")
+    p.add_argument("--out", default="output/graph",
+                   help="prefix: writes <out>.jaxpr.txt and <out>.hlo.txt")
+    p.add_argument("--optimized", action="store_true",
+                   help="dump compiler-optimized HLO (compiles for the "
+                        "current platform)")
+    p.add_argument("--platform", default=None)
+    args = p.parse_args(argv)
+
+    if args.platform:
+        jax.config.update("jax_platforms", args.platform)
+
+    import os
+
+    from pygat_tpu.data.citation import load_citation
+    from pygat_tpu.models.gat import GATConfig, apply_gat, init_gat
+    from pygat_tpu.models.presets import PRESETS
+
+    data = load_citation(args.dataset)
+    cfg = GATConfig(layer_type=args.model, **PRESETS[args.dataset])
+    cfg = cfg._replace(nfeats=(int(data.features.shape[1]),) + cfg.nfeats[1:])
+    params = init_gat(jax.random.PRNGKey(72), cfg)
+    key = jax.random.PRNGKey(0)
+
+    def fwd(params, x, key):
+        return apply_gat(params, cfg, x, data.graph, key, train=True)
+
+    os.makedirs(os.path.dirname(args.out) or ".", exist_ok=True)
+    dump_jaxpr(fwd, params, data.features, key, path=args.out + ".jaxpr.txt")
+    dump_hlo(fwd, params, data.features, key, path=args.out + ".hlo.txt",
+             optimized=args.optimized)
+    hist = op_histogram(fwd, params, data.features, key)
+    top = sorted(hist.items(), key=lambda kv: -kv[1])[:15]
+    print(f"wrote {args.out}.jaxpr.txt and {args.out}.hlo.txt")
+    print("primitive histogram (top 15):")
+    for name, cnt in top:
+        print(f"  {cnt:5d}  {name}")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
