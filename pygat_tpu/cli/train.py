@@ -42,6 +42,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--jsonl", type=str, default=None, help="JSONL metrics path")
     p.add_argument("--log-every", type=int, default=1)
     p.add_argument("--data-root", type=str, default=None)
+    p.add_argument("--resume", dest="resume_training", action="store_true",
+                   default=False,
+                   help="continue from the newest checkpoint in "
+                        "--checkpoint-dir (full state: params, optimizer "
+                        "moments, RNG key, best-val bookkeeping)")
     p.add_argument("--reorder", action="store_true", default=False,
                    help="RCM node relabeling (isomorphic; packs neighborhoods "
                         "into few 128-node tiles — recommended with "
@@ -109,10 +114,15 @@ def main(argv=None) -> int:
         log_every=args.log_every,
     )
     if args.epoch_chunk > 1:
+        if args.resume_training:
+            raise SystemExit("--resume requires the classic loop "
+                             "(--epoch-chunk 1); chunked checkpoints are "
+                             "written at chunk boundaries only")
         result = fit_transductive_fast(cfg, data, epoch_chunk=args.epoch_chunk,
                                        **common)
     else:
-        result = fit_transductive(cfg, data, **common)
+        result = fit_transductive(cfg, data, resume=args.resume_training,
+                                  **common)
     print("Optimization Finished!")
     print("Total time elapsed: {:.4f}s".format(time.time() - t0))
     print("Loading {}th epoch".format(result.best_epoch))

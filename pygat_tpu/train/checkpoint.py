@@ -73,6 +73,12 @@ def list_checkpoints(ckpt_dir: str, tag: str) -> list[tuple[int, str]]:
     return sorted(out)
 
 
+def latest(ckpt_dir: str, tag: str) -> tuple[int, str] | None:
+    """(epoch, path) of the newest checkpoint for ``tag``, or None."""
+    cks = list_checkpoints(ckpt_dir, tag)
+    return cks[-1] if cks else None
+
+
 def rotate_below_best(ckpt_dir: str, tag: str, best_epoch: int) -> None:
     """Per-epoch rotation: drop checkpoints older than best (train.py:213-217)."""
     for epoch, path in list_checkpoints(ckpt_dir, tag):

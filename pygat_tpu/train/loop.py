@@ -93,9 +93,16 @@ def fit_transductive(
     logger: TrainLogger | None = None,
     log_every: int = 1,
     init_params: Any = None,
+    resume: bool = False,
 ) -> FitResult:
     """Reference policy: track best val loss, patience counter, save every
-    epoch, rotate non-best, restore best, test (train.py:191-236)."""
+    epoch, rotate non-best, restore best, test (train.py:191-236).
+
+    ``resume=True``: restore the newest checkpoint under ``checkpoint_dir``
+    (full TrainState incl. optimizer moments and RNG key — exact
+    continuation, the reference only saved model weights) and continue the
+    epoch count / best-val / patience bookkeeping from its header.
+    """
     from pygat_tpu.ops.dispatch import get_backend
 
     logger = logger or TrainLogger()
@@ -104,6 +111,18 @@ def fit_transductive(
     key, init_key = jax.random.split(key)
     params = init_params if init_params is not None else init_gat(init_key, cfg)
     state = init_state(params, tx, key)
+
+    start_epoch = 0
+    resumed_best = None
+    if resume and checkpoint_dir:
+        found = ckpt.latest(checkpoint_dir, dataset_tag)
+        if found is not None:
+            _, path = found
+            state, header = ckpt.restore(path, like=state)
+            start_epoch = header["epoch"] + 1
+            resumed_best = header
+            logger.log("resume", epoch=header["epoch"],
+                       best=header.get("best"), path=path)
     tiles = None
     if get_backend() == "pallas" and cfg.layer_type == "GAT_sparse":
         from pygat_tpu.ops.tiles import tile_graph
@@ -116,10 +135,14 @@ def fit_transductive(
     best = float("inf")
     best_epoch = 0
     bad_counter = 0
+    if resumed_best is not None and resumed_best.get("best") is not None:
+        best = float(resumed_best["best"])
+        best_epoch = int(resumed_best.get("best_epoch", start_epoch - 1))
+        bad_counter = int(resumed_best.get("bad", 0))
     history = []
-    epoch = -1
+    epoch = start_epoch - 1
 
-    for epoch in range(epochs):
+    for epoch in range(start_epoch, epochs):
         t0 = time.time()
         state, loss_tr, acc_tr, out_tr = train_step(state, x, g, labels, data.idx_train)
         if fastmode:
@@ -143,15 +166,17 @@ def fit_transductive(
             )
         history.append(loss_val)
 
-        if checkpoint_dir:
-            ckpt.save(checkpoint_dir, epoch, dataset_tag, state)
-
         if loss_val < best:
             best = loss_val
             best_epoch = epoch
             bad_counter = 0
         else:
             bad_counter += 1
+        if checkpoint_dir:
+            # full-state checkpoint every epoch with resume bookkeeping
+            ckpt.save(checkpoint_dir, epoch, dataset_tag, state,
+                      extra={"best": best, "best_epoch": best_epoch,
+                             "bad": bad_counter})
         if bad_counter == patience:
             break
         if checkpoint_dir:

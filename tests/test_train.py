@@ -194,3 +194,49 @@ def test_fit_fast_matches_classic(tmp_path):
     assert b.best_val_loss <= a.best_val_loss + 1e-6
     if b.best_epoch == a.best_epoch:
         np.testing.assert_allclose(a.test_acc, b.test_acc, rtol=1e-5)
+
+
+def test_resume_exactly_continues(tmp_path, random_graph_tuple, rng):
+    """Interrupt after 4 epochs, resume from the newest full-state
+    checkpoint: loss history and final result match an uninterrupted run
+    exactly (params + Adam moments + RNG key + best-val bookkeeping all
+    restored)."""
+    import os
+
+    from pygat_tpu.graph import build_graph
+    from pygat_tpu.data.citation import CitationDataset
+    from pygat_tpu.models.gat import GATConfig
+    from pygat_tpu.train.logging import TrainLogger
+    from pygat_tpu.train.loop import fit_transductive
+
+    send, recv, w, n = random_graph_tuple
+    g = build_graph(send, recv, w, n)
+    feats = jnp.asarray(rng.standard_normal((g.num_nodes_padded, 16)).astype(np.float32))
+    labels = np.full(g.num_nodes_padded, -1, np.int32)
+    labels[:n] = rng.integers(0, 3, n)
+    data = CitationDataset(
+        graph=g, features=feats, labels=jnp.asarray(labels),
+        idx_train=jnp.arange(20), idx_val=jnp.arange(20, 30),
+        idx_test=jnp.arange(30, n), num_classes=3, num_features=16,
+        synthetic_parts=("all",),
+    )
+    cfg = GATConfig(nlayers=2, nheads=(2, 1), nfeats=(16, 4, 3), dropout=0.0,
+                    alpha=0.2, layer_type="GAT_sparse")
+    quiet = dict(logger=TrainLogger(stream=open(os.devnull, "w")))
+    kw = dict(lr=0.01, weight_decay=5e-4, patience=50, seed=7)
+
+    ref = fit_transductive(cfg, data, epochs=10,
+                           checkpoint_dir=str(tmp_path / "ref"), **kw, **quiet)
+
+    part = fit_transductive(cfg, data, epochs=4,
+                            checkpoint_dir=str(tmp_path / "res"), **kw, **quiet)
+    resumed = fit_transductive(cfg, data, epochs=10,
+                               checkpoint_dir=str(tmp_path / "res"),
+                               resume=True, **kw, **quiet)
+
+    np.testing.assert_allclose(
+        np.asarray(part.history + resumed.history),
+        np.asarray(ref.history), rtol=1e-5,
+    )
+    assert resumed.best_epoch == ref.best_epoch
+    np.testing.assert_allclose(resumed.test_acc, ref.test_acc, atol=1e-6)
