@@ -25,8 +25,10 @@ import jax.numpy as jnp
 
 from pygat_tpu.graph import Graph
 from pygat_tpu.ops.segment import (
+    segment_max,
     segment_softmax_stable,
     segment_sum,
+    sorted_segment_max,
     sorted_segment_sum,
     take_receivers,
     take_senders,
@@ -390,29 +392,53 @@ def gat_v1_sparse_heads(
         f_dst[:, graph.receivers] + f_src[:, graph.senders], alpha
     )  # [H, E]
     fast = graph.col_perm is not None
-    num, den = jax.vmap(
-        lambda lg: segment_softmax_stable(
-            lg, graph.receivers, n, edge_mask=graph.edge_mask,
-            row_ptr=graph.row_ptr if fast else None,
-        )
-    )(logits)  # [H, E], [H, N]
+
+    # Softmax stabilization WITHOUT a segment-max scatter: the softmax is
+    # invariant to any per-receiver shift, so instead of the exact per-row
+    # max (a slow TPU scatter-max; the reference's torch_scatter trick,
+    # layers.py:145-146) subtract the cheap upper bound
+    #     bound[h, i] = leaky(f_dst[h, i] + max_j f_src[h, j])  >=  logit
+    # (leaky_relu is monotone). exp(logit - bound) <= 1 — no overflow ever;
+    # the bound is looser than the exact max by the f_src spread, which
+    # costs underflow only when that spread exceeds ~88 nats (a regime
+    # where the reference's own exp overflows f32). Gradient-stopped: the
+    # shift's true gradient is exactly zero.
+    m_src = jnp.max(f_src, axis=1)  # [H]
+    bound = jax.lax.stop_gradient(leaky_relu(f_dst + m_src[:, None], alpha))
+    num = jnp.where(graph.edge_mask[None, :],
+                    jnp.exp(logits - bound[:, graph.receivers]), 0.0)  # [H, E]
     if use_drop:
         keep_att = jax.random.bernoulli(k_att, keep, num.shape)
-        num = jnp.where(keep_att, num / keep, 0.0)
+        qnum = jnp.where(keep_att, num / keep, 0.0)
+    else:
+        qnum = num
 
     if fast:
         gathered = take_senders(wh, graph.senders, graph.col_perm, graph.col_ptr)
     else:
         gathered = wh[graph.senders]  # [E, H*F]
-    msgs = (gathered.reshape(e_pad, n_heads, f_out)
-            * jnp.moveaxis(num, 0, 1)[:, :, None]).reshape(e_pad, n_heads * f_out)
+    hf = n_heads * f_out
+    # ONE segment reduction for numerator AND denominator: append the
+    # pre-dropout numerators as H extra columns (reference semantics: the
+    # denominator uses PRE-dropout numerators, layers.py:150-160). The
+    # extra lanes are free — [*, HF] was padded to the 128-lane width
+    # anyway.
+    msgs = jnp.concatenate(
+        [
+            (gathered.reshape(e_pad, n_heads, f_out)
+             * jnp.moveaxis(qnum, 0, 1)[:, :, None]).reshape(e_pad, hf),
+            jnp.moveaxis(num, 0, 1),  # [E, H]
+        ],
+        axis=1,
+    )  # [E, HF + H]
     if fast:
         agg = sorted_segment_sum(msgs, graph.receivers, graph.row_ptr)
     else:
-        agg = segment_sum(msgs, graph.receivers, n)  # [N, H*F]
+        agg = segment_sum(msgs, graph.receivers, n)  # [N, HF + H]
 
+    den = agg[:, hf:]  # [N, H]
     den = jnp.where(den > 0, den, 1.0)
-    out = agg.reshape(n, n_heads, f_out) / jnp.moveaxis(den, 0, 1)[:, :, None]
+    out = agg[:, :hf].reshape(n, n_heads, f_out) / den[:, :, None]
 
     if params.skip is not None:
         if x_h is not None:
@@ -482,29 +508,48 @@ def gat_v2_sparse_heads(
     logits = jnp.einsum("ehf,hf->he", pre.reshape(e_pad, n_heads, f_out),
                         params.a)  # [H, E]
 
-    num, den = jax.vmap(
-        lambda lg: segment_softmax_stable(
-            lg, graph.receivers, n, edge_mask=graph.edge_mask,
-            row_ptr=graph.row_ptr if fast else None,
-        )
-    )(logits)  # [H, E], [H, N]
+    # exact segment-max stabilization (v2 logits don't decompose into the
+    # v1 path's receiver bound), gradient-stopped (shift-invariance)
+    neg = jnp.asarray(-9e15, logits.dtype)
+    logit_m = jnp.where(graph.edge_mask[None, :], logits, neg)
+    if fast:
+        seg_max = jax.vmap(
+            lambda lg: sorted_segment_max(lg, graph.receivers, graph.row_ptr)
+        )(logit_m)
+    else:
+        seg_max = jax.vmap(
+            lambda lg: segment_max(lg, graph.receivers, n)
+        )(logit_m)
+    seg_max = jnp.where(jnp.isfinite(seg_max) & (seg_max > -8.9e15), seg_max, 0.0)
+    seg_max = jax.lax.stop_gradient(seg_max)
+    num = jnp.where(graph.edge_mask[None, :],
+                    jnp.exp(logit_m - seg_max[:, graph.receivers]), 0.0)
     if use_drop:
         keep_att = jax.random.bernoulli(k_att, keep, num.shape)
-        num = jnp.where(keep_att, num / keep, 0.0)
+        qnum = jnp.where(keep_att, num / keep, 0.0)
+    else:
+        qnum = num
 
     if fast:
         gathered = take_senders(whi, graph.senders, graph.col_perm, graph.col_ptr)
     else:
         gathered = whi[graph.senders]  # [E, H*F]
-    msgs = (gathered.reshape(e_pad, n_heads, f_out)
-            * jnp.moveaxis(num, 0, 1)[:, :, None]).reshape(e_pad, hf)
+    # one fused segment reduction: aggregation + pre-dropout denominator
+    msgs = jnp.concatenate(
+        [
+            (gathered.reshape(e_pad, n_heads, f_out)
+             * jnp.moveaxis(qnum, 0, 1)[:, :, None]).reshape(e_pad, hf),
+            jnp.moveaxis(num, 0, 1),  # [E, H]
+        ],
+        axis=1,
+    )
     if fast:
         agg = sorted_segment_sum(msgs, graph.receivers, graph.row_ptr)
     else:
-        agg = segment_sum(msgs, graph.receivers, n)  # [N, H*F]
+        agg = segment_sum(msgs, graph.receivers, n)  # [N, HF + H]
 
-    den = jnp.where(den > 0, den, 1.0)
-    out = agg.reshape(n, n_heads, f_out) / jnp.moveaxis(den, 0, 1)[:, :, None]
+    den = jnp.where(agg[:, hf:] > 0, agg[:, hf:], 1.0)  # [N, H]
+    out = agg[:, :hf].reshape(n, n_heads, f_out) / den[:, :, None]
 
     if params.skip is not None:
         if x_h is not None:
