@@ -388,10 +388,19 @@ def gat_v1_sparse_heads(
     f_dst = jnp.einsum("nho,ho->hn", wh3, params.a[:, :f_out])  # [H, N]
     f_src = jnp.einsum("nho,ho->hn", wh3, params.a[:, f_out:])
 
-    logits = leaky_relu(
-        f_dst[:, graph.receivers] + f_src[:, graph.senders], alpha
-    )  # [H, E]
     fast = graph.col_perm is not None
+    # Gather sender features ONCE and derive the sender logit component
+    # from the gathered block (rather than gathering f_src separately):
+    # the cotangents of the logits and of the messages then flow through a
+    # SINGLE sender-segmented reduction in the backward pass instead of two
+    # scatter-adds.
+    if fast:
+        gathered = take_senders(wh, graph.senders, graph.col_perm, graph.col_ptr)
+    else:
+        gathered = wh[graph.senders]  # [E, H*F]
+    l_src = jnp.einsum("ehf,hf->he", gathered.reshape(e_pad, n_heads, f_out),
+                       params.a[:, f_out:])  # [H, E]
+    logits = leaky_relu(f_dst[:, graph.receivers] + l_src, alpha)  # [H, E]
 
     # Softmax stabilization WITHOUT a segment-max scatter: the softmax is
     # invariant to any per-receiver shift, so instead of the exact per-row
@@ -413,10 +422,6 @@ def gat_v1_sparse_heads(
     else:
         qnum = num
 
-    if fast:
-        gathered = take_senders(wh, graph.senders, graph.col_perm, graph.col_ptr)
-    else:
-        gathered = wh[graph.senders]  # [E, H*F]
     hf = n_heads * f_out
     # ONE segment reduction for numerator AND denominator: append the
     # pre-dropout numerators as H extra columns (reference semantics: the
