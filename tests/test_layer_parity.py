@@ -164,3 +164,59 @@ def test_heads_batched_v2_matches_per_head_vmap(random_graph_tuple, rng):
              if concat else outs.mean(axis=0))
 
     np.testing.assert_allclose(np.asarray(out), np.asarray(x), atol=2e-5)
+
+
+def test_heads_path_huge_logits_stable(random_graph_tuple, rng):
+    """The bound-based softmax stabilization must keep exp() finite for
+    extreme projections (the reference README:30 instability scenario)."""
+    import jax
+
+    from pygat_tpu.models.gat import GATConfig, apply_gat, init_gat
+
+    send, recv, w, n = random_graph_tuple
+    g = build_graph(send, recv, w, n)
+    f_in = 8
+    cfg = GATConfig(nlayers=2, nheads=(4, 1), nfeats=(f_in, 4, 3),
+                    dropout=0.0, alpha=0.2, layer_type="GAT_sparse")
+    params = init_gat(jax.random.PRNGKey(5), cfg)
+    # scale weights so per-edge logits reach +-hundreds
+    params = jax.tree_util.tree_map(lambda p: p * 60.0, params)
+    h = jnp.asarray(rng.standard_normal((g.num_nodes_padded, f_in)).astype(np.float32) * 5)
+    out = apply_gat(params, cfg, h, g, jax.random.PRNGKey(0), train=False)
+    assert bool(jnp.isfinite(out[:n]).all())
+
+
+def test_heads_path_dropout_statistics(random_graph_tuple, rng):
+    """Train-mode mask statistics: roughly p of the attention numerators
+    drop, survivors are scaled by 1/(1-p), and per-head masks differ."""
+    import jax
+
+    from pygat_tpu.models.gat import GATConfig, apply_gat, init_gat
+
+    send, recv, w, n = random_graph_tuple
+    g = build_graph(send, recv, w, n)
+    f_in = 16
+    cfg = GATConfig(nlayers=1, nheads=(4,), nfeats=(f_in, 8), dropout=0.5,
+                    alpha=0.2, layer_type="GAT_sparse")
+    params = init_gat(jax.random.PRNGKey(1), cfg)
+    h = jnp.asarray(rng.standard_normal((g.num_nodes_padded, f_in)).astype(np.float32))
+
+    outs = [np.asarray(apply_gat(params, cfg, h, g, jax.random.PRNGKey(s),
+                                 train=True)) for s in (0, 1)]
+    ref = np.asarray(apply_gat(params, cfg, h, g, jax.random.PRNGKey(0),
+                               train=False))
+    # different seeds give different training outputs; eval differs from both
+    assert not np.allclose(outs[0], outs[1])
+    assert not np.allclose(outs[0], ref)
+    assert np.isfinite(outs[0][:n]).all()
+
+    # direct mask statistics via the head-batched draw
+    from pygat_tpu.models.layers import draw_masks
+
+    m = draw_masks(jax.random.PRNGKey(3), "GAT_sparse", 0.5,
+                   n=512, f_in=64, f_out=8, e=2048, heads=4)
+    frac = float(np.asarray(m.m_in).mean())
+    assert 0.47 < frac < 0.53
+    # per-head masks are independent draws
+    a, b = np.asarray(m.m_in[0]), np.asarray(m.m_in[1])
+    assert (a != b).mean() > 0.3
