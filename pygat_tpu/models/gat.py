@@ -171,14 +171,12 @@ def apply_gat(
             )
         return h
 
+    # Dense variants from here on (sparse returned above). The mask is
+    # computed once per forward and shared by all layers — the reference's
+    # `adj > 0` test (layers.py:41) against the densified normalized
+    # adjacency (utils.py:55).
     fn = _head_fn(cfg)
-    if cfg.is_sparse:
-        neighborhood: Any = graph
-    else:
-        # Dense mask computed once per forward, shared by all layers —
-        # the reference's `adj > 0` test (layers.py:41) against the
-        # densified normalized adjacency (utils.py:55).
-        neighborhood = graph.to_dense(binary=True) > 0
+    neighborhood: Any = graph.to_dense(binary=True) > 0
 
     from pygat_tpu.models.layers import NO_MASKS, draw_masks
 

@@ -412,7 +412,11 @@ def gat_v1_sparse_heads(
     # costs underflow only when that spread exceeds ~88 nats (a regime
     # where the reference's own exp overflows f32). Gradient-stopped: the
     # shift's true gradient is exactly zero.
-    m_src = jnp.max(f_src, axis=1)  # [H]
+    # max over REAL senders only: padding rows hold 0, which would loosen
+    # the bound by |max real f_src| when all real components are negative
+    # (bringing the ~88-nat underflow regime forward for no reason)
+    m_src = jnp.max(jnp.where(graph.node_mask[None, :], f_src, -jnp.inf), axis=1)
+    m_src = jnp.where(jnp.isfinite(m_src), m_src, 0.0)  # all-masked fallback
     bound = jax.lax.stop_gradient(leaky_relu(f_dst + m_src[:, None], alpha))
     num = jnp.where(graph.edge_mask[None, :],
                     jnp.exp(logits - bound[:, graph.receivers]), 0.0)  # [H, E]

@@ -178,6 +178,13 @@ def gat_attention_v1(
     if backend == "pallas":
         if tiles is None:
             raise ValueError("pallas backend requires a TiledGraph")
+        if graph.col_perm is None or graph.col_ptr is None:
+            # the analytic backward reduces over senders via the CSC view;
+            # hand-built Graphs without one must use the XLA backend
+            raise ValueError(
+                "pallas backend requires a Graph with a CSC view "
+                "(col_perm/col_ptr); build it via pygat_tpu.graph.build_graph"
+            )
         if keep_scaled is None:
             drop_flat = tiles.valid  # 1.0 on real slots, 0 on padding
         else:

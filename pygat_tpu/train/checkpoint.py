@@ -86,10 +86,17 @@ def rotate_below_best(ckpt_dir: str, tag: str, best_epoch: int) -> None:
             os.remove(path)
 
 
-def rotate_above_best(ckpt_dir: str, tag: str, best_epoch: int) -> None:
-    """Final rotation: drop checkpoints newer than best (train.py:220-224)."""
+def rotate_above_best(
+    ckpt_dir: str, tag: str, best_epoch: int, keep_epoch: int | None = None
+) -> None:
+    """Final rotation: drop checkpoints newer than best (train.py:220-224).
+
+    ``keep_epoch`` (the run's final epoch) survives alongside the best one so
+    a later ``resume=True`` is a true continuation rather than a silent
+    replay of all post-best epochs from the best checkpoint.
+    """
     for epoch, path in list_checkpoints(ckpt_dir, tag):
-        if epoch > best_epoch:
+        if epoch > best_epoch and epoch != keep_epoch:
             os.remove(path)
 
 

@@ -122,7 +122,11 @@ def fit_transductive(
             start_epoch = header["epoch"] + 1
             resumed_best = header
             logger.log("resume", epoch=header["epoch"],
-                       best=header.get("best"), path=path)
+                       best=header.get("best"), path=path,
+                       # flag when the newest surviving file is the BEST
+                       # checkpoint of a finished run (post-best epochs will
+                       # be re-trained from it)
+                       from_best=(header["epoch"] == header.get("best_epoch")))
     tiles = None
     if get_backend() == "pallas" and cfg.layer_type == "GAT_sparse":
         from pygat_tpu.ops.tiles import tile_graph
@@ -183,7 +187,10 @@ def fit_transductive(
             ckpt.rotate_below_best(checkpoint_dir, dataset_tag, best_epoch)
 
     if checkpoint_dir:
-        ckpt.rotate_above_best(checkpoint_dir, dataset_tag, best_epoch)
+        # keep the final-epoch checkpoint too: resume=True then continues
+        # from where the run stopped instead of replaying post-best epochs
+        ckpt.rotate_above_best(checkpoint_dir, dataset_tag, best_epoch,
+                               keep_epoch=epoch)
         state, _ = ckpt.restore(
             ckpt.best_path(checkpoint_dir, dataset_tag, best_epoch), like=state
         )
@@ -311,7 +318,10 @@ def fit_inductive(
             ckpt.rotate_below_best(checkpoint_dir, dataset_tag, best_epoch)
 
     if checkpoint_dir:
-        ckpt.rotate_above_best(checkpoint_dir, dataset_tag, best_epoch)
+        # keep the final-epoch checkpoint too: resume=True then continues
+        # from where the run stopped instead of replaying post-best epochs
+        ckpt.rotate_above_best(checkpoint_dir, dataset_tag, best_epoch,
+                               keep_epoch=epoch)
         state, _ = ckpt.restore(
             ckpt.best_path(checkpoint_dir, dataset_tag, best_epoch), like=state
         )
@@ -449,7 +459,10 @@ def fit_inductive_fast(
             ckpt.rotate_below_best(checkpoint_dir, dataset_tag, best_epoch)
 
     if checkpoint_dir:
-        ckpt.rotate_above_best(checkpoint_dir, dataset_tag, best_epoch)
+        # keep the final-epoch checkpoint too: resume=True then continues
+        # from where the run stopped instead of replaying post-best epochs
+        ckpt.rotate_above_best(checkpoint_dir, dataset_tag, best_epoch,
+                               keep_epoch=epoch)
         state, _ = ckpt.restore(
             ckpt.best_path(checkpoint_dir, dataset_tag, best_epoch), like=state
         )

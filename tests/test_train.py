@@ -146,9 +146,12 @@ def test_fit_transductive_learns_and_early_stops(tmp_path):
         logger=TrainLogger(stream=open(os.devnull, "w")), log_every=50,
     )
     assert res.test_acc > 0.6, f"model failed to learn: test_acc={res.test_acc}"
-    # rotation left exactly the best checkpoint
+    # rotation keeps the best checkpoint plus the final epoch (so a later
+    # resume continues the run instead of replaying post-best epochs)
     ckpts = ckpt.list_checkpoints(str(tmp_path), "unit")
-    assert [e for e, _ in ckpts] == [res.best_epoch]
+    kept = [e for e, _ in ckpts]
+    expected = sorted({res.best_epoch, res.epochs_run - 1})
+    assert kept == expected, (kept, expected)
 
 
 def test_fit_fast_matches_classic(tmp_path):
