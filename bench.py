@@ -13,8 +13,12 @@ reference's published sparse-GAT epoch time on a Titan Xp, 0.08-0.14 s
 (README.md:30) — compared against the FAST end (80 ms), so
 vs_baseline = 80 / ours (higher is better).
 
-Backend: the better of XLA segment ops and the fused Pallas kernel for this
-graph size (both timed; details on stderr).
+Backends timed (details on stderr):
+* ``stream``      — Pallas stream-scatter segment sums (ops/stream.py), the
+                    default on TPU;
+* ``xla``         — XLA scatter-add segment sums (the round-1 default);
+* ``pallas-bcsr`` — the round-1 fused BCSR one-hot kernel + RCM reordering,
+                    kept for comparison.
 """
 
 from __future__ import annotations
@@ -27,18 +31,31 @@ BASELINE_MS = 80.0  # reference sparse Cora epoch, fast end (README.md:30)
 N_EPOCHS = 100
 
 
-def _time_backend(backend: str, reorder: bool = False) -> float:
+def _time_backend(backend: str) -> float:
     import jax
 
     from pygat_tpu.data.citation import load_citation
     from pygat_tpu.models.gat import GATConfig, init_gat
     from pygat_tpu.models.presets import PRESETS, TRAIN_PRESETS
     from pygat_tpu.ops.dispatch import set_backend
+    from pygat_tpu.ops.segment import set_segment_impl
     from pygat_tpu.train.loop import make_scanned_epochs
     from pygat_tpu.train.state import init_state, make_optimizer
 
-    set_backend(backend)
-    # reorder: isomorphic RCM node relabeling (see data.citation.load_citation)
+    reorder = False
+    if backend == "stream":
+        set_backend("xla")
+        set_segment_impl("stream")
+    elif backend == "xla":
+        set_backend("xla")
+        set_segment_impl("scatter")
+    elif backend == "pallas-bcsr":
+        set_backend("pallas")
+        set_segment_impl("scatter")
+        reorder = True  # BCSR tile utilization needs RCM locality
+    else:
+        raise ValueError(backend)
+
     data = load_citation("cora", reorder=reorder)
     cfg = GATConfig(layer_type="GAT_sparse", **PRESETS["cora"])
     cfg = cfg._replace(nfeats=(int(data.features.shape[1]),) + cfg.nfeats[1:])
@@ -46,7 +63,7 @@ def _time_backend(backend: str, reorder: bool = False) -> float:
     tx = make_optimizer(tp["lr"], tp["weight_decay"])
 
     tiles = None
-    if backend == "pallas":
+    if backend == "pallas-bcsr":
         from pygat_tpu.ops.tiles import tile_graph
 
         tiles = tile_graph(data.graph)
@@ -74,12 +91,15 @@ def _time_backend(backend: str, reorder: bool = False) -> float:
 def main() -> int:
     import jax
 
+    from pygat_tpu.ops.segment import set_segment_impl
+
     results = {}
-    for backend, reorder in (("xla", False), ("xla-rcm", True), ("pallas-rcm", True)):
+    for backend in ("stream", "xla", "pallas-bcsr"):
         try:
-            results[backend] = _time_backend(backend.split("-")[0], reorder=reorder)
+            results[backend] = _time_backend(backend)
         except Exception as exc:  # pallas may be unavailable off-TPU
             print(f"[bench] backend {backend} failed: {exc}", file=sys.stderr)
+    set_segment_impl("auto")
     if not results:
         raise SystemExit("no backend produced a measurement")
     best_backend = min(results, key=results.get)

@@ -1,17 +1,27 @@
 """Sparse-kernel microbenchmarks vs the HBM roofline.
 
 For each op the minimum HBM traffic is computed from the arrays it must
-touch; speed-of-light time = traffic / measured-or-nominal HBM bandwidth.
-TPU v5e nominal HBM bandwidth: 819 GB/s.
+touch; speed-of-light time = traffic / nominal HBM bandwidth (TPU v5e:
+819 GB/s). The gather term is counted as E*F*4 (no-reuse model — every
+edge fetches its sender row), indices as E*4 each.
 
 Ops (E edges, N nodes, F features, receiver-sorted COO):
-  spmm   : out[recv] += v * dense[send]         reads E*(4+4+4) + E*F*4, writes N*F*4
-  sddmm  : out[e] = <a[recv_e], b[send_e]>      reads E*8 + 2*E*F*4, writes E*4
-  fused  : full GATv1 attention epoch-step       reads ~E descriptors + N*F, writes N*F
+  spmm-scatter : legacy flat-arg op, XLA scatter-add forward
+  spmm-stream  : ops.spmm.spmm_graph — XLA gather + Pallas stream-scatter
+  spmm-stream-grad : value+dense gradients of spmm-stream (SDDMM + sender
+                     stream reduction; the SpecialSpmmFunction backward
+                     replacement, reference layers.py:80-90)
+  sddmm        : gather-dot (XLA fused)
 
-One JSON line per op: edges/s, GB/s effective, fraction of roofline.
+Timing: two-K on-device lax.scan differential — the axon-tunneled device
+has a ~30 ms per-dispatch floor that a single scan would smear over the
+iteration count (this corrupted the round-1 numbers: spmm "49 GB/s" was
+~40% dispatch floor).
 
-Usage: python -m benchmarks.bench_kernels [--n 19840] [--deg 8] [--f 128]
+Usage:
+  python -m benchmarks.bench_kernels                     # Pubmed scale
+  python -m benchmarks.bench_kernels --n 1000000 --deg 16 --f 64
+  python -m benchmarks.bench_kernels --n 1000000 --deg 16 --clustered
 """
 
 from __future__ import annotations
@@ -23,36 +33,52 @@ import time
 HBM_GBPS = 819.0  # TPU v5e nominal
 
 
-def _graph(n: int, deg: int):
+def _graph(n: int, deg: int, clustered: bool = False):
     import numpy as np
 
     from pygat_tpu.graph import build_graph
 
     rng = np.random.default_rng(0)
-    send = np.concatenate([rng.integers(0, n, n * deg), np.arange(n)])
-    recv = np.concatenate([rng.integers(0, n, n * deg), np.arange(n)])
+    base = np.repeat(np.arange(n, dtype=np.int64), deg)
+    if clustered:
+        # community-local neighbors (what RCM/partitioning yields on real
+        # graphs): senders within +-1024 of the receiver
+        send = base + rng.integers(-1024, 1024, base.shape[0])
+        send = np.clip(send, 0, n - 1)
+    else:
+        send = rng.integers(0, n, base.shape[0])
+    send = np.concatenate([send, np.arange(n)])
+    recv = np.concatenate([base, np.arange(n)])
     return build_graph(send, recv, None, n)
 
 
-def _devtime(fn, *args, iters: int = 50, reps: int = 3) -> float:
+def _devtime(fn, *args, k1: int = 20, k2: int = 60, reps: int = 3) -> float:
+    """Dispatch-floor-free device time via a two-length scan differential."""
     import jax
     import jax.numpy as jnp
 
-    @jax.jit
-    def loop(*a):
-        def body(c, _):
-            out = fn(*a)
-            return c + out.ravel()[0].astype(jnp.float32) * 1e-20, None
-        return jax.lax.scan(body, jnp.float32(0), None, length=iters)[0]
+    def make(iters):
+        @jax.jit
+        def loop(*a):
+            def body(c, _):
+                # the carry perturbs the first (float) operand so XLA cannot
+                # hoist the op out of the scan as loop-invariant
+                out = fn(a[0] + c * 1e-30, *a[1:])
+                return c + out.ravel()[0].astype(jnp.float32) * 1e-20, None
+            return jax.lax.scan(body, jnp.float32(0), None, length=iters)[0]
+        return loop
 
-    o = loop(*args)
-    jax.block_until_ready(o)
-    best = float("inf")
-    for _ in range(reps):
-        t0 = time.perf_counter()
+    times = {}
+    for k in (k1, k2):
+        loop = make(k)
         float(loop(*args))
-        best = min(best, (time.perf_counter() - t0) / iters)
-    return best
+        best = float("inf")
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            float(loop(*args))
+            best = min(best, time.perf_counter() - t0)
+        times[k] = best
+    return max((times[k2] - times[k1]) / (k2 - k1), 1e-9)
 
 
 def main() -> int:
@@ -60,16 +86,17 @@ def main() -> int:
     p.add_argument("--n", type=int, default=19840)
     p.add_argument("--deg", type=int, default=8)
     p.add_argument("--f", type=int, default=128)
+    p.add_argument("--clustered", action="store_true")
     a = p.parse_args()
 
     import jax
     import jax.numpy as jnp
     import numpy as np
 
-    from pygat_tpu.ops.sddmm import sddmm
-    from pygat_tpu.ops.spmm import spmm
+    from pygat_tpu.ops.sddmm import sddmm_graph
+    from pygat_tpu.ops.spmm import spmm, spmm_graph
 
-    g = _graph(a.n, a.deg)
+    g = _graph(a.n, a.deg, a.clustered)
     n_pad, e_pad = g.num_nodes_padded, g.num_edges_padded
     e_real = int(g.n_edge)
     rng = np.random.default_rng(1)
@@ -77,17 +104,36 @@ def main() -> int:
     dense2 = jnp.asarray(rng.standard_normal((n_pad, a.f)).astype(np.float32))
     vals = jnp.asarray(rng.standard_normal(e_pad).astype(np.float32))
 
-    results = []
+    t_spmm = e_pad * 8 + e_pad * a.f * 4 + n_pad * a.f * 4
+    t_sddmm = e_pad * 8 + 2 * e_pad * a.f * 4 + e_pad * 4
 
-    dt = _devtime(lambda: spmm(vals, dense, g.senders, g.receivers, g.edge_mask))
-    traffic = e_pad * 12 + e_pad * a.f * 4 + n_pad * a.f * 4
-    results.append(("spmm", dt, traffic))
+    def spmm_grad(v, d, gg):
+        return jax.grad(
+            lambda vv, dd: (spmm_graph(vv, dd, gg) * dense2).sum(),
+            argnums=(0, 1),
+        )(v, d)[1]
 
-    dt = _devtime(lambda: sddmm(dense, dense2, g.senders, g.receivers, g.edge_mask))
-    traffic = e_pad * 12 + 2 * e_pad * a.f * 4
-    results.append(("sddmm", dt, traffic))
+    # graph/operand arrays are passed as jit ARGUMENTS — closing over them
+    # embeds multi-MB constants into the program (slow lowering; the remote
+    # compile endpoint rejects >~40MB bodies outright)
+    cases = [
+        ("spmm-scatter", t_spmm,
+         lambda v, d, gg: spmm(v, d, gg.senders, gg.receivers, gg.edge_mask),
+         (vals, dense, g)),
+        ("spmm-stream", t_spmm, spmm_graph, (vals, dense, g)),
+        ("spmm-stream-grad", 3 * t_spmm, spmm_grad, (vals, dense, g)),
+        ("sddmm", t_sddmm, sddmm_graph, (dense, dense2, g)),
+    ]
 
-    for name, dt, traffic in results:
+    import sys
+    for name, traffic, fn, args in cases:
+        print(f"[bench_kernels] timing {name}...", file=sys.stderr, flush=True)
+        try:
+            dt = _devtime(fn, *args)
+        except Exception as exc:
+            print(json.dumps({"metric": name, "error": str(exc)[:200]}),
+                  flush=True)
+            continue
         gbps = traffic / dt / 1e9
         print(json.dumps({
             "metric": f"{name}_edges_per_s",
@@ -96,6 +142,8 @@ def main() -> int:
             "ms": round(dt * 1e3, 4),
             "effective_gbps": round(gbps, 1),
             "roofline_frac": round(gbps / HBM_GBPS, 3),
+            "config": {"n": a.n, "deg": a.deg, "f": a.f,
+                       "clustered": a.clustered},
         }), flush=True)
     return 0
 

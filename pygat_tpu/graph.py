@@ -49,6 +49,16 @@ class Graph(NamedTuple):
     # that order. None on hand-built graphs -> ops fall back to scatter.
     col_perm: jax.Array | None = None  # [E_pad] int32
     col_ptr: jax.Array | None = None  # [N_pad + 1] int32
+    # Stream-scatter layouts (pygat_tpu.ops.stream): build_graph lays the
+    # edge arrays out so every EC-chunk of consecutive edges scatters into
+    # ONE 128-row tile (receiver side is *physically* stream-aligned, so no
+    # runtime permutation is needed); the sender side carries a slot map
+    # over the CSC order. None when N_pad isn't 128-aligned.
+    r_local: jax.Array | None = None  # [E_pad] int32 chunk-local row (128 = dead)
+    r_chunk: jax.Array | None = None  # [E_pad / EC] int32 output tile per chunk
+    c_slot: jax.Array | None = None  # [E_s2] int32 edge index per stream slot
+    c_local: jax.Array | None = None  # [E_s2] int32
+    c_chunk: jax.Array | None = None  # [E_s2 / EC] int32
 
     @property
     def num_nodes_padded(self) -> int:
@@ -120,6 +130,11 @@ def build_graph(
         n_pad = round_up(num_nodes + 1, node_align)
     if n_pad <= num_nodes:
         raise ValueError(f"n_pad={n_pad} must exceed num_nodes={num_nodes}")
+    # An EXPLICIT e_pad is a static-shape bucketing request (PPI batches
+    # share one compiled shape): the stream layout then uses a worst-case
+    # length bound independent of the degree distribution. e_pad=None uses
+    # the exact per-graph stream length.
+    explicit_e_pad = e_pad is not None
     if e_pad is None:
         e_pad = round_up(max(num_edges, 1), edge_align)
     if e_pad < num_edges:
@@ -132,20 +147,66 @@ def build_graph(
     edge_weight = edge_weight[order]
 
     dummy = n_pad - 1
-    senders_p = pad_axis(senders.astype(np.int32), e_pad, value=dummy)
-    receivers_p = pad_axis(receivers.astype(np.int32), e_pad, value=dummy)
-    weight_p = pad_axis(edge_weight, e_pad, value=0.0)
-    edge_mask = np.zeros((e_pad,), dtype=bool)
-    edge_mask[:num_edges] = True
+    node_mask = np.zeros((n_pad,), dtype=bool)
+    node_mask[:num_nodes] = True
 
-    # CSR row_ptr over the padded edge array (padding edges all land in the
-    # dummy row because dummy == n_pad - 1 sorts last).
+    stream_fields: dict = {}
+    if n_pad % 128 == 0:
+        # Stream-aligned physical layout: insert padding slots so every
+        # EC-chunk of consecutive edges scatters into one 128-row tile
+        # (ops.stream kernel contract). Padding inside tile t carries
+        # receiver t*128+127 (keeps the array receiver-sorted), sender
+        # dummy, weight 0, mask False.
+        from pygat_tpu.ops.stream import (
+            DEAD,
+            EC,
+            build_stream_layout,
+            stream_length,
+        )
+
+        real_ptr = np.zeros((n_pad + 1,), dtype=np.int64)
+        np.cumsum(np.bincount(receivers, minlength=n_pad), out=real_ptr[1:])
+        lay = build_stream_layout(
+            real_ptr,
+            stream_pad=stream_length(e_pad, n_pad) if explicit_e_pad else None,
+        )
+        e_s = lay.slot.shape[0]
+        live = lay.slot >= 0
+        src = np.maximum(lay.slot, 0)
+        senders_p = np.where(live, senders[src], dummy).astype(np.int32)
+        receivers_p = np.where(
+            live, receivers[src],
+            lay.chunk_tile[np.arange(e_s) // EC].astype(np.int64) * 128 + 127,
+        ).astype(np.int32)
+        weight_p = np.where(live, edge_weight[src], 0.0).astype(np.float32)
+        edge_mask = live
+        e_pad = e_s
+
+        c_lay = build_stream_layout(
+            _csc_ptr(senders_p, n_pad),
+            order=np.lexsort((receivers_p, senders_p)),
+            stream_pad=stream_length(e_s, n_pad) if explicit_e_pad else None,
+        )
+        stream_fields = dict(
+            r_local=jnp.asarray(lay.local),
+            r_chunk=jnp.asarray(lay.chunk_tile),
+            c_slot=jnp.asarray(np.maximum(c_lay.slot, 0).astype(np.int32)),
+            c_local=jnp.asarray(c_lay.local),
+            c_chunk=jnp.asarray(c_lay.chunk_tile),
+        )
+    else:
+        # legacy padding (no stream kernels): all padding in the dummy row
+        senders_p = pad_axis(senders.astype(np.int32), e_pad, value=dummy)
+        receivers_p = pad_axis(receivers.astype(np.int32), e_pad, value=dummy)
+        weight_p = pad_axis(edge_weight, e_pad, value=0.0)
+        edge_mask = np.zeros((e_pad,), dtype=bool)
+        edge_mask[:num_edges] = True
+
+    # CSR row_ptr over the padded edge array (padding slots land in their
+    # tile's last row — zeros there are harmless to every consumer).
     counts = np.bincount(receivers_p, minlength=n_pad)
     row_ptr = np.zeros((n_pad + 1,), dtype=np.int32)
     np.cumsum(counts, out=row_ptr[1:])
-
-    node_mask = np.zeros((n_pad,), dtype=bool)
-    node_mask[:num_nodes] = True
 
     # CSC (sender-major) permutation + offsets; padding edges (sender ==
     # dummy) sort last, into the dummy column segment.
@@ -165,7 +226,14 @@ def build_graph(
         n_edge=jnp.asarray(num_edges, dtype=jnp.int32),
         col_perm=jnp.asarray(col_perm),
         col_ptr=jnp.asarray(col_ptr),
+        **stream_fields,
     )
+
+
+def _csc_ptr(senders_p: np.ndarray, n_pad: int) -> np.ndarray:
+    ptr = np.zeros((n_pad + 1,), dtype=np.int64)
+    np.cumsum(np.bincount(senders_p, minlength=n_pad), out=ptr[1:])
+    return ptr
 
 
 def from_scipy(adj, *, n_pad: int | None = None, e_pad: int | None = None) -> Graph:

@@ -25,9 +25,13 @@ import jax.numpy as jnp
 
 from pygat_tpu.graph import Graph
 from pygat_tpu.ops.segment import (
+    gather_receivers,
+    gather_receivers_hn,
+    gather_senders,
     segment_max,
     segment_softmax_stable,
     segment_sum,
+    segment_sum_receivers,
     sorted_segment_max,
     sorted_segment_sum,
     take_receivers,
@@ -388,19 +392,16 @@ def gat_v1_sparse_heads(
     f_dst = jnp.einsum("nho,ho->hn", wh3, params.a[:, :f_out])  # [H, N]
     f_src = jnp.einsum("nho,ho->hn", wh3, params.a[:, f_out:])
 
-    fast = graph.col_perm is not None
     # Gather sender features ONCE and derive the sender logit component
     # from the gathered block (rather than gathering f_src separately):
     # the cotangents of the logits and of the messages then flow through a
     # SINGLE sender-segmented reduction in the backward pass instead of two
-    # scatter-adds.
-    if fast:
-        gathered = take_senders(wh, graph.senders, graph.col_perm, graph.col_ptr)
-    else:
-        gathered = wh[graph.senders]  # [E, H*F]
+    # scatter-adds. gather_*/segment_sum_* dispatch to the Pallas stream
+    # kernel (ops.stream) on TPU and to the XLA paths elsewhere.
+    gathered = gather_senders(wh, graph)  # [E, H*F]
     l_src = jnp.einsum("ehf,hf->he", gathered.reshape(e_pad, n_heads, f_out),
                        params.a[:, f_out:])  # [H, E]
-    logits = leaky_relu(f_dst[:, graph.receivers] + l_src, alpha)  # [H, E]
+    logits = leaky_relu(gather_receivers_hn(f_dst, graph) + l_src, alpha)
 
     # Softmax stabilization WITHOUT a segment-max scatter: the softmax is
     # invariant to any per-receiver shift, so instead of the exact per-row
@@ -440,10 +441,7 @@ def gat_v1_sparse_heads(
         ],
         axis=1,
     )  # [E, HF + H]
-    if fast:
-        agg = sorted_segment_sum(msgs, graph.receivers, graph.row_ptr)
-    else:
-        agg = segment_sum(msgs, graph.receivers, n)  # [N, HF + H]
+    agg = segment_sum_receivers(msgs, graph)  # [N, HF + H]
 
     den = agg[:, hf:]  # [N, H]
     den = jnp.where(den > 0, den, 1.0)
@@ -506,43 +504,47 @@ def gat_v2_sparse_heads(
         whi = h @ wi2d
         whj = h @ wj2d
 
-    fast = graph.col_perm is not None
-    if fast:
-        pre_i = take_receivers(whi, graph.receivers, graph.row_ptr)
-        pre_j = take_senders(whj, graph.senders, graph.col_perm, graph.col_ptr)
-    else:
-        pre_i = whi[graph.receivers]
-        pre_j = whj[graph.senders]
+    pre_i = gather_receivers(whi, graph)
+    pre_j = gather_senders(whj, graph)
     pre = leaky_relu(pre_i + pre_j, alpha)  # [E, H*F]
     logits = jnp.einsum("ehf,hf->he", pre.reshape(e_pad, n_heads, f_out),
                         params.a)  # [H, E]
 
-    # exact segment-max stabilization (v2 logits don't decompose into the
-    # v1 path's receiver bound), gradient-stopped (shift-invariance)
-    neg = jnp.asarray(-9e15, logits.dtype)
-    logit_m = jnp.where(graph.edge_mask[None, :], logits, neg)
-    if fast:
-        seg_max = jax.vmap(
-            lambda lg: sorted_segment_max(lg, graph.receivers, graph.row_ptr)
-        )(logit_m)
-    else:
-        seg_max = jax.vmap(
-            lambda lg: segment_max(lg, graph.receivers, n)
-        )(logit_m)
-    seg_max = jnp.where(jnp.isfinite(seg_max) & (seg_max > -8.9e15), seg_max, 0.0)
-    seg_max = jax.lax.stop_gradient(seg_max)
+    # Softmax stabilization WITHOUT a segment-max scatter (the v2 analogue
+    # of the v1 path's receiver bound): logits are
+    #   e[h,i,j] = sum_f a[h,f] * leaky(whi[i,hf] + whj[j,hf])
+    # and leaky_relu is monotone increasing, so per (h,f) the j-term is
+    # bounded by the global max (for a >= 0) or min (for a < 0) of
+    # whj[:,hf] over real nodes:
+    #   ub[h,i] = sum_f a+[h,f]*leaky(whi+Mq) + a-[h,f]*leaky(whi+mq)
+    # exp(logit - ub) <= 1 — no overflow ever. Looser than the exact max by
+    # the a-weighted whj spread: underflow costs accuracy only when that
+    # gap exceeds ~88 nats, a regime where the reference's own exp
+    # overflows f32. Gradient-stopped: softmax shift-invariance makes the
+    # shift's true gradient exactly zero. (Replaces the round-1 exact
+    # scatter segment-max; VERDICT r1 item 8.)
+    whj_m = jax.lax.stop_gradient(whj)
+    node_col = graph.node_mask[:, None]
+    big = jnp.asarray(jnp.inf, whj_m.dtype)
+    Mq = jnp.max(jnp.where(node_col, whj_m, -big), axis=0)  # [H*F]
+    mq = jnp.min(jnp.where(node_col, whj_m, big), axis=0)
+    Mq = jnp.where(jnp.isfinite(Mq), Mq, 0.0).reshape(n_heads, f_out)
+    mq = jnp.where(jnp.isfinite(mq), mq, 0.0).reshape(n_heads, f_out)
+    whi3 = jax.lax.stop_gradient(whi).reshape(n, n_heads, f_out)
+    a_pos = jnp.maximum(params.a, 0.0)
+    a_neg = jnp.minimum(params.a, 0.0)
+    ub = jnp.einsum("nhf,hf->hn", leaky_relu(whi3 + Mq[None], alpha), a_pos)
+    ub = ub + jnp.einsum("nhf,hf->hn", leaky_relu(whi3 + mq[None], alpha), a_neg)
+    ub = jax.lax.stop_gradient(ub)
     num = jnp.where(graph.edge_mask[None, :],
-                    jnp.exp(logit_m - seg_max[:, graph.receivers]), 0.0)
+                    jnp.exp(logits - ub[:, graph.receivers]), 0.0)
     if use_drop:
         keep_att = jax.random.bernoulli(k_att, keep, num.shape)
         qnum = jnp.where(keep_att, num / keep, 0.0)
     else:
         qnum = num
 
-    if fast:
-        gathered = take_senders(whi, graph.senders, graph.col_perm, graph.col_ptr)
-    else:
-        gathered = whi[graph.senders]  # [E, H*F]
+    gathered = gather_senders(whi, graph)  # [E, H*F]
     # one fused segment reduction: aggregation + pre-dropout denominator
     msgs = jnp.concatenate(
         [
@@ -552,10 +554,7 @@ def gat_v2_sparse_heads(
         ],
         axis=1,
     )
-    if fast:
-        agg = sorted_segment_sum(msgs, graph.receivers, graph.row_ptr)
-    else:
-        agg = segment_sum(msgs, graph.receivers, n)  # [N, HF + H]
+    agg = segment_sum_receivers(msgs, graph)  # [N, HF + H]
 
     den = jnp.where(agg[:, hf:] > 0, agg[:, hf:], 1.0)  # [N, H]
     out = agg[:, :hf].reshape(n, n_heads, f_out) / den[:, :, None]

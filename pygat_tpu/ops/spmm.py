@@ -54,4 +54,17 @@ spmm.defvjp(_spmm_fwd, _spmm_bwd)
 
 
 def spmm_graph(values: jax.Array, dense: jax.Array, graph: Graph) -> jax.Array:
-    return spmm(values, dense, graph.senders, graph.receivers, graph.edge_mask)
+    """Graph-aware SpMM through the fastest available reductions.
+
+    Composed from the differentiable dispatch primitives (ops.segment): on
+    TPU the forward scatter runs the Pallas stream kernel (ops.stream) and
+    the whole backward stays scatter-free — d(values) is the fused SDDMM
+    ``<g[recv], dense[send]>`` and d(dense) is a sender-side stream
+    reduction — replacing the reference's dense [N, N] backward
+    materialization (reference layers.py:85-87).
+    """
+    from pygat_tpu.ops.segment import gather_senders, segment_sum_receivers
+
+    v = jnp.where(graph.edge_mask, values, 0.0)
+    msgs = v[:, None] * gather_senders(dense, graph)
+    return segment_sum_receivers(msgs, graph)

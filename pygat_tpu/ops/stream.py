@@ -1,0 +1,290 @@
+"""Stream-scatter: Pallas TPU segment-sum over sorted edge streams.
+
+The one op XLA runs badly on TPU is the scatter-add at the heart of every
+sparse GAT reduction (profiled: six 0.75-0.9 ms serial scatter-add fusions
+per Pubmed train step, ~8 ns/row). This module replaces that scatter with a
+Pallas kernel exploiting the receiver-sorted edge order the Graph container
+already guarantees:
+
+* edges are walked in segment-sorted order, ``EC`` per grid step, with
+  alignment padding so every chunk lives inside ONE 128-row output tile
+  (``pygat_tpu.graph.build_graph`` bakes this padding into the edge arrays,
+  so receiver-side messages are *born* in stream order — no extra gather);
+* within a chunk the scatter becomes a one-hot matmul on the MXU:
+  ``OneHot(local_row)[128, EC] @ msgs[EC, L] -> [128, L]`` accumulated into
+  the resident output tile (revisited output window, flash-style);
+* f32 inputs are split into two bf16 limbs (hi via integer mantissa
+  truncation — a float cast would be elided under
+  ``--xla_allow_excess_precision`` — plus residual) keeping ~16 mantissa
+  bits (~1e-5 relative) at 2 matmuls/chunk; ``precision='fastest'`` keeps a
+  single limb (bf16-class, ~2e-3) at half the stream traffic.
+
+Measured (TPU v5e, Pubmed-scale E=108k, L=128): ~0.4 us per 512-edge chunk
+== 327 GB/s effective stream, 7.5x XLA's scatter emitter.
+
+This is the TPU-native replacement for the reference's native sparse matmul
+(``SpecialSpmmFunction``, reference layers.py:70-95) and torch_scatter
+reductions (reference layers.py:145,285): ``spmm(edge, values, b) ==
+stream_segment_sum(values[:, None] * b[senders], ...)``.
+
+Sender-side reductions run the same kernel over the CSC (sender-sorted)
+order through a slot map composed with ``col_perm``.
+
+The kernel itself is never differentiated through: the wrappers here carry
+custom VJPs whose backward is a pure gather (the cotangent of a segment sum
+at segment ``i`` flows unchanged to every edge of ``i``).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+EC = 256  # edges per chunk / grid step
+TILE = 128  # output row tile (lane width)
+DEAD = TILE  # chunk-local row id marking a padding slot (one-hot never fires)
+_ALIGN = 8 * EC  # stream length granularity (local ids pack as (8, EC) blocks)
+
+
+class StreamLayout(NamedTuple):
+    """Host-built chunking of one sorted edge order (numpy, pre-device).
+
+    ``slot[k]``: edge index occupying stream position ``k`` (-1 padding);
+    ``local[k]``: output row within the chunk's 128-row tile (DEAD = drop);
+    ``chunk_tile[c]``: output tile of chunk ``c`` (non-decreasing).
+    For the receiver side of a stream-aligned Graph, ``slot`` is the
+    identity and is not needed at runtime.
+    """
+
+    slot: np.ndarray  # [E_s] int64
+    local: np.ndarray  # [E_s] int32
+    chunk_tile: np.ndarray  # [C] int32
+
+
+def stream_length(e_pad: int, n_pad: int) -> int:
+    """Deterministic stream-length upper bound for static-shape bucketing:
+    enough for any degree distribution with ``e_pad`` edge slots over
+    ``n_pad`` nodes (PPI batches share one compiled shape this way)."""
+    n_tiles = n_pad // TILE
+    return -(-(e_pad + n_tiles * (EC - 1)) // _ALIGN) * _ALIGN
+
+
+def build_stream_layout(
+    ptr: np.ndarray,  # [N_pad + 1] CSR/CSC offsets over the sorted edge order
+    order: np.ndarray | None = None,  # edge idx per sorted position (CSC perm)
+    *,
+    stream_pad: int | None = None,  # force E_s (static-shape bucketing)
+) -> StreamLayout:
+    """Chunk a sorted edge order so every EC-chunk writes one 128-row tile.
+
+    Rows of a tile are contiguous in the sorted order, so alignment padding
+    is only needed at tile boundaries: at most EC-1 dead slots per nonempty
+    tile. ``order=None`` means the sorted order IS the edge-array order
+    (receiver side); the CSC side passes ``col_perm``.
+    """
+    ptr = np.asarray(ptr, dtype=np.int64)
+    n_pad = ptr.shape[0] - 1
+    if n_pad % TILE:
+        raise ValueError(f"N_pad={n_pad} must be a multiple of {TILE}")
+    n_tiles = n_pad // TILE
+    e_pad = int(ptr[-1])
+
+    tile_ptr = ptr[::TILE]
+    if tile_ptr.shape[0] != n_tiles + 1:
+        tile_ptr = np.append(tile_ptr, ptr[-1])
+    tile_counts = np.diff(tile_ptr)
+    chunks_per_tile = -(-tile_counts // EC)
+    c_real = int(chunks_per_tile.sum())
+    e_s_real = c_real * EC
+    if stream_pad is not None:
+        if stream_pad % _ALIGN:
+            raise ValueError(f"stream_pad must be a multiple of {_ALIGN}")
+        if stream_pad < e_s_real:
+            raise ValueError(f"stream_pad={stream_pad} < required {e_s_real}")
+        e_s = stream_pad
+    else:
+        e_s = max(-(-e_s_real // _ALIGN) * _ALIGN, _ALIGN)
+
+    slot = np.full(e_s, -1, dtype=np.int64)
+    local = np.full(e_s, DEAD, dtype=np.int32)
+    chunk_tile = np.full(e_s // EC, max(n_tiles - 1, 0), dtype=np.int32)
+
+    # edge at sorted position p of tile t -> stream slot
+    # chunk_base[t] * EC + (p - tile_ptr[t])
+    chunk_base = np.concatenate([[0], np.cumsum(chunks_per_tile)[:-1]])
+    pos = np.arange(e_pad, dtype=np.int64)
+    # tile of each sorted position, from the ptr offsets (no ids needed)
+    t_of_pos = np.repeat(np.arange(n_tiles, dtype=np.int64), tile_counts)
+    stream_pos = chunk_base[t_of_pos] * EC + (pos - tile_ptr[t_of_pos])
+    slot[stream_pos] = pos if order is None else np.asarray(order, np.int64)[pos]
+    # local row within the tile needs the row of each sorted position:
+    row_of_pos = np.repeat(np.arange(n_pad, dtype=np.int64), np.diff(ptr))
+    local[stream_pos] = (row_of_pos - t_of_pos * TILE).astype(np.int32)
+
+    nz = np.flatnonzero(chunks_per_tile)
+    chunk_tile[:c_real] = np.repeat(nz.astype(np.int32), chunks_per_tile[nz])
+    return StreamLayout(slot=slot, local=local, chunk_tile=chunk_tile)
+
+
+def _make_kernel(two_limb: bool, l_pad: int):
+    def kernel(chunk_tile_ref, local_ref, data_ref, out_ref):
+        i = pl.program_id(0)
+        tile = chunk_tile_ref[i]
+        is_first = jnp.logical_or(
+            i == 0, chunk_tile_ref[jnp.maximum(i - 1, 0)] != tile
+        )
+
+        @pl.when(is_first)
+        def _():
+            out_ref[:] = jnp.zeros_like(out_ref)
+
+        # one-hot scatter matrix: rows = local output row, cols = stream
+        # slot; padding slots carry local == DEAD and never match
+        rows = jax.lax.broadcasted_iota(jnp.int32, (TILE, EC), 0)
+        loc = local_ref[0, i % 8, :]  # [EC] from the (8, EC) packed block
+        oh = jnp.where(rows == loc[None, :], 1.0, 0.0).astype(jnp.bfloat16)
+
+        win = data_ref[0]  # [EC, l_pad or 2*l_pad] bf16
+        acc = jnp.dot(oh, win[:, :l_pad], preferred_element_type=jnp.float32)
+        if two_limb:
+            acc = acc + jnp.dot(
+                oh, win[:, l_pad:], preferred_element_type=jnp.float32
+            )
+        out_ref[:] += acc
+
+    return kernel
+
+
+def _split_limbs(x: jax.Array) -> jax.Array:
+    """f32 [E, L] -> bf16 [E, 2L]: hi limb then residual limb (lane blocks).
+
+    The hi limb comes from integer-truncating the f32 mantissa to the bf16
+    set, NOT from a float cast: under ``--xla_allow_excess_precision=true``
+    (set on this platform) XLA may keep a rounded ``bf16(x)`` in f32
+    precision, silently zeroing the residual limb (measured: 1.8e-3 instead
+    of ~6e-6 error). Bit masking is opaque to that rewrite.
+    """
+    hi = jax.lax.bitcast_convert_type(
+        jax.lax.bitcast_convert_type(x, jnp.uint32) & jnp.uint32(0xFFFF0000),
+        jnp.float32,
+    )
+    lo = (x - hi).astype(jnp.bfloat16)
+    return jnp.concatenate([hi.astype(jnp.bfloat16), lo], axis=1)
+
+
+def stream_scatter(
+    data: jax.Array,  # [E_s, L] f32 messages ALREADY in stream order
+    local: jax.Array,  # [E_s] int32 chunk-local rows (DEAD = drop)
+    chunk_tile: jax.Array,  # [C] int32
+    n_pad: int,
+    *,
+    precision: str = "high",  # 'high' = 2 bf16 limbs (~1e-5), 'fastest' = 1
+    interpret: bool = False,
+) -> jax.Array:
+    """Segment-sum a stream-ordered message array into [n_pad, L] f32.
+
+    The limb split and lane padding fuse into the XLA producer of ``data``;
+    the kernel only streams chunks and scatters on the MXU. NOT
+    differentiable — use the custom-VJP wrappers below.
+    """
+    if n_pad % TILE:
+        raise ValueError(f"n_pad={n_pad} must be a multiple of {TILE}")
+    e_s, l_real = data.shape
+    if e_s % _ALIGN:
+        raise ValueError(f"stream length {e_s} not aligned to {_ALIGN}")
+    l_pad = -(-l_real // 128) * 128
+    two_limb = precision != "fastest"
+
+    x = data
+    if l_pad != l_real:
+        x = jnp.pad(x, ((0, 0), (0, l_pad - l_real)))
+    win = _split_limbs(x) if two_limb else x.astype(jnp.bfloat16)
+
+    c = chunk_tile.shape[0]
+    local8 = local.reshape(c // 8, 8, EC)
+    win3d = win.reshape(c, EC, win.shape[1])
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(c,),
+        in_specs=[
+            pl.BlockSpec((1, 8, EC), lambda i, ct: (i // 8, 0, 0)),
+            pl.BlockSpec((1, EC, win.shape[1]), lambda i, ct: (i, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((TILE, l_pad), lambda i, ct: (ct[i], 0)),
+    )
+    out = pl.pallas_call(
+        _make_kernel(two_limb, l_pad),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((n_pad, l_pad), jnp.float32),
+        interpret=interpret,
+    )(chunk_tile, local8, win3d)
+    return out[:, :l_real] if l_pad != l_real else out
+
+
+# ---------------------------------------------------------------------------
+# Differentiable wrappers (the VJP of a segment sum is a gather — no kernel)
+# ---------------------------------------------------------------------------
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))
+def stream_segment_sum(data, segment_ids, local, chunk_tile, n_pad: int,
+                       precision: str = "high", interpret: bool = False):
+    """Receiver-side segment sum of stream-ordered ``data`` [E_s, L].
+
+    ``segment_ids`` (the padded receivers) are consumed only by the
+    backward gather; the forward trusts the stream layout.
+    """
+    return stream_scatter(data, local, chunk_tile, n_pad,
+                          precision=precision, interpret=interpret)
+
+
+def _sss_fwd(data, segment_ids, local, chunk_tile, n_pad, precision, interpret):
+    out = stream_scatter(data, local, chunk_tile, n_pad,
+                         precision=precision, interpret=interpret)
+    return out, segment_ids
+
+
+def _sss_bwd(n_pad, precision, interpret, segment_ids, g):
+    return g[segment_ids], None, None, None
+
+
+stream_segment_sum.defvjp(_sss_fwd, _sss_bwd)
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8))
+def stream_sender_segment_sum(data, senders, c_slot, c_local, c_chunk_tile,
+                              c_valid, n_pad: int, precision: str = "high",
+                              interpret: bool = False):
+    """Per-SENDER segment sum of edge ``data`` [E_pad-or-E_s, L].
+
+    ``c_slot`` maps sender-sorted stream positions to edge indices (clipped;
+    dead slots are killed by ``c_local == DEAD``); the gather into stream
+    order fuses into the producer. VJP w.r.t. data is ``g[senders]``.
+    ``c_valid`` is unused at runtime (placeholder for API symmetry); dead
+    slots never reach the output through the one-hot.
+    """
+    streamed = jnp.take(data, c_slot, axis=0)
+    return stream_scatter(streamed, c_local, c_chunk_tile, n_pad,
+                          precision=precision, interpret=interpret)
+
+
+def _ssss_fwd(data, senders, c_slot, c_local, c_chunk_tile, c_valid,
+              n_pad, precision, interpret):
+    out = stream_sender_segment_sum(data, senders, c_slot, c_local,
+                                    c_chunk_tile, c_valid, n_pad, precision,
+                                    interpret)
+    return out, senders
+
+
+def _ssss_bwd(n_pad, precision, interpret, senders, g):
+    return g[senders], None, None, None, None, None
+
+
+stream_sender_segment_sum.defvjp(_ssss_fwd, _ssss_bwd)

@@ -40,6 +40,15 @@ def graph_pspecs(sharded: bool = True) -> Graph:
         n_edge=P(),
         col_perm=e,
         col_ptr=P(),
+        # stream-scatter layouts: edge-aligned slot/local arrays shard like
+        # edges; the small per-chunk metadata replicates (the Pallas kernel
+        # itself is a single-device op — the GSPMD path reduces with XLA
+        # segment ops, see ops.segment dispatch)
+        r_local=e,
+        r_chunk=P(),
+        c_slot=e,
+        c_local=e,
+        c_chunk=P(),
     )
 
 

@@ -1,23 +1,35 @@
 """Test configuration: run everything on a virtual 8-device CPU mesh so
-multi-chip sharding tests work without TPU hardware (SURVEY §4.4)."""
+multi-chip sharding tests work without TPU hardware (SURVEY §4.4).
+
+``PYGAT_TPU_TESTS=1`` keeps the real TPU attached instead (for the
+compiled-Mosaic numeric tests, e.g. tests/test_stream.py); run only the
+TPU-marked tests in that mode — the CPU-mesh sharding tests will skip."""
 
 import os
 
-# Must be set before the CPU backend initializes. The env var alone is not
-# enough on this image: the axon TPU plugin's sitecustomize force-registers
-# itself and sets jax_platforms via config, so we override via config too.
-os.environ["JAX_PLATFORMS"] = "cpu"
-flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+_TPU_MODE = os.environ.get("PYGAT_TPU_TESTS") == "1"
+
+if not _TPU_MODE:
+    # Must be set before the CPU backend initializes. The env var alone is
+    # not enough on this image: the axon TPU plugin's sitecustomize
+    # force-registers itself and sets jax_platforms via config, so we
+    # override via config too.
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    flags = os.environ.get("XLA_FLAGS", "")
+    if "xla_force_host_platform_device_count" not in flags:
+        os.environ["XLA_FLAGS"] = (
+            flags + " --xla_force_host_platform_device_count=8"
+        ).strip()
 
 import jax  # noqa: E402
 
-jax.config.update("jax_platforms", "cpu")
+if not _TPU_MODE:
+    jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", False)
 
-assert jax.devices()[0].platform == "cpu", "tests must run on the CPU mesh"
-assert jax.device_count() == 8, "expected 8 virtual CPU devices"
+if not _TPU_MODE:
+    assert jax.devices()[0].platform == "cpu", "tests must run on the CPU mesh"
+    assert jax.device_count() == 8, "expected 8 virtual CPU devices"
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402

@@ -117,7 +117,9 @@ def test_inductive_fit_smoke(tmp_path):
     )
     assert res.test_acc > 0.5, f"micro-F1 too low: {res.test_acc}"
     from pygat_tpu.train import checkpoint as ckpt
-    assert [e for e, _ in ckpt.list_checkpoints(str(tmp_path), "ppi")] == [res.best_epoch]
+    kept = [e for e, _ in ckpt.list_checkpoints(str(tmp_path), "ppi")]
+    # rotation keeps the best checkpoint plus the final epoch (resume support)
+    assert kept == sorted({res.best_epoch, res.epochs_run - 1}), kept
 
 
 def test_inductive_fast_matches_classic(tmp_path):

@@ -96,11 +96,11 @@ def test_sorted_segment_ops_match_scatter(random_graph_tuple, rng, scan_impl):
     for d in (data1, data2):
         ref = segment_sum(d, g.receivers, n_pad)
         got = sorted_segment_sum(d, g.receivers, g.row_ptr)
-        np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-5)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=1e-5, atol=1e-5)
 
         ref_s = segment_sum(d, g.senders, n_pad, sorted_ids=False)
         got_s = sender_segment_sum(d, g.senders, g.col_perm, g.col_ptr)
-        np.testing.assert_allclose(np.asarray(got_s), np.asarray(ref_s), atol=1e-5)
+        np.testing.assert_allclose(np.asarray(got_s), np.asarray(ref_s), rtol=1e-5, atol=1e-5)
 
     ref_m = np.asarray(segment_max(data1, g.receivers, n_pad))
     got_m = np.asarray(sorted_segment_max(data1, g.receivers, g.row_ptr))
@@ -123,19 +123,19 @@ def test_sorted_segment_vjps_are_gathers(random_graph_tuple, rng, scan_impl):
     _, vjp = jax.vjp(lambda d: sorted_segment_sum(d, g.receivers, g.row_ptr), data)
     _, vjp_ref = jax.vjp(lambda d: segment_sum(d, g.receivers, n_pad), data)
     np.testing.assert_allclose(np.asarray(vjp(ct)[0]), np.asarray(vjp_ref(ct)[0]),
-                               atol=1e-5)
+                               rtol=1e-5, atol=1e-5)
 
     # gather VJPs vs autodiff of plain indexing
     ct_e = jnp.asarray(rng.standard_normal(e_pad).astype(np.float32))
     _, vjp1 = jax.vjp(lambda v: take_receivers(v, g.receivers, g.row_ptr), x)
     _, vjp1_ref = jax.vjp(lambda v: v[g.receivers], x)
     np.testing.assert_allclose(np.asarray(vjp1(ct_e)[0]), np.asarray(vjp1_ref(ct_e)[0]),
-                               atol=1e-5)
+                               rtol=1e-5, atol=1e-5)
 
     _, vjp2 = jax.vjp(lambda v: take_senders(v, g.senders, g.col_perm, g.col_ptr), x)
     _, vjp2_ref = jax.vjp(lambda v: v[g.senders], x)
     np.testing.assert_allclose(np.asarray(vjp2(ct_e)[0]), np.asarray(vjp2_ref(ct_e)[0]),
-                               atol=1e-5)
+                               rtol=1e-5, atol=1e-5)
 
 
 def test_segment_softmax_scan_path_matches_scatter(random_graph_tuple, rng, scan_impl):
