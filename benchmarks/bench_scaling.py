@@ -62,6 +62,26 @@ def main() -> int:
         jax.block_until_ready(st)
         return (time.perf_counter() - t0) / a.steps
 
+    def run_ring(n_dev: int) -> float:
+        from pygat_tpu.parallel.partition import partition_edges
+        from pygat_tpu.parallel.ring_model import make_ring_transductive_steps
+
+        mesh = make_mesh(n_dev, 1)
+        part = partition_edges(data.graph, n_dev)
+        params = init_gat(jax.random.PRNGKey(72), cfg)
+        state = init_state(params, tx, jax.random.PRNGKey(0))
+        sdata, sstate = sharded_fit_inputs(data, state, mesh)
+        train_step, _ = make_ring_transductive_steps(cfg, tx, part, mesh)
+        st = sstate
+        st, *_ = train_step(st, sdata.features, sdata.labels, sdata.idx_train)
+        jax.block_until_ready(st)
+        t0 = time.perf_counter()
+        for _ in range(a.steps):
+            st, loss, *_ = train_step(st, sdata.features, sdata.labels,
+                                      sdata.idx_train)
+        jax.block_until_ready(st)
+        return (time.perf_counter() - t0) / a.steps
+
     t1 = run(1)
     tn = run(a.devices)
     eff = t1 / (tn * a.devices)
@@ -74,6 +94,16 @@ def main() -> int:
         "step_ms_ndev": round(tn * 1e3, 3),
         "edges_per_s_ndev": round(n_edges / tn),
         "platform": jax.devices()[0].platform,
+    }))
+    # hand-scheduled ring halo-exchange path (ppermute + online softmax)
+    tr = run_ring(a.devices)
+    print(json.dumps({
+        "metric": "ring_step_ms_ndev",
+        "value": round(tr * 1e3, 3),
+        "unit": "ms",
+        "devices": a.devices,
+        "edges_per_s_ndev": round(n_edges / tr),
+        "vs_gspmd": round(tn / tr, 2),
     }))
     return 0
 

@@ -51,6 +51,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="RCM node relabeling (isomorphic; packs neighborhoods "
                         "into few 128-node tiles — recommended with "
                         "--backend pallas)")
+    p.add_argument("--mesh", type=str, default=None, metavar="D,M",
+                   help="multi-chip SPMD: 'data,model' mesh sizes (e.g. 4,2) "
+                        "— node/edge arrays shard on data, head-stacked "
+                        "params on model; requires D*M visible devices")
     p.add_argument("--epoch-chunk", type=int, default=1,
                    help=">1: run K epochs per device dispatch (lax.scan) with "
                         "on-device best-params tracking — much faster wall "
@@ -113,16 +117,23 @@ def main(argv=None) -> int:
         logger=logger,
         log_every=args.log_every,
     )
+    mesh = None
+    if args.mesh:
+        from pygat_tpu.parallel.mesh import make_mesh
+
+        n_data, n_model = (int(v) for v in args.mesh.split(","))
+        mesh = make_mesh(n_data, n_model)
+        print(f"mesh: data={n_data} model={n_model}")
     if args.epoch_chunk > 1:
         if args.resume_training:
             raise SystemExit("--resume requires the classic loop "
                              "(--epoch-chunk 1); chunked checkpoints are "
                              "written at chunk boundaries only")
         result = fit_transductive_fast(cfg, data, epoch_chunk=args.epoch_chunk,
-                                       **common)
+                                       mesh=mesh, **common)
     else:
         result = fit_transductive(cfg, data, resume=args.resume_training,
-                                  **common)
+                                  mesh=mesh, **common)
     print("Optimization Finished!")
     print("Total time elapsed: {:.4f}s".format(time.time() - t0))
     print("Loading {}th epoch".format(result.best_epoch))

@@ -40,6 +40,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--jsonl", type=str, default=None)
     p.add_argument("--quiet-batches", action="store_true", default=False)
     p.add_argument("--data-root", type=str, default=None)
+    p.add_argument("--mesh", type=str, default=None, metavar="D,M",
+                   help="inductive data parallelism (with --epoch-scan): "
+                        "graph-batches sharded D-way with gradient "
+                        "all-reduce; head params shard on the model axis")
     p.add_argument("--epoch-scan", action="store_true", default=False,
                    help="one device dispatch per train/eval epoch (lax.scan "
                         "over stacked batches) — much faster wall clock on "
@@ -91,8 +95,18 @@ def main(argv=None) -> int:
         logger=logger,
     )
     if args.epoch_scan:
-        result = fit_inductive_fast(cfg, data, **common)
+        mesh = None
+        if args.mesh:
+            from pygat_tpu.parallel.mesh import make_mesh
+
+            n_data, n_model = (int(v) for v in args.mesh.split(","))
+            mesh = make_mesh(n_data, n_model)
+            print(f"mesh: data={n_data} model={n_model}")
+        result = fit_inductive_fast(cfg, data, mesh=mesh, **common)
     else:
+        if args.mesh:
+            raise SystemExit("--mesh requires --epoch-scan (the classic "
+                             "per-batch host loop is single-device)")
         result = fit_inductive(cfg, data, log_batches=not args.quiet_batches,
                                **common)
     print("Optimization Finished!")

@@ -67,6 +67,22 @@ def make_transductive_steps(
     return train_step, eval_step
 
 
+def _enter_mesh(data, state, mesh):
+    """Place a CitationDataset + TrainState on a mesh for SPMD training.
+
+    On multi-device meshes the segment ops are pinned to the XLA lowering
+    for the remainder of the process: GSPMD cannot partition a Pallas
+    custom call over sharded edge arrays. (Single-device meshes keep the
+    stream kernel.)
+    """
+    from pygat_tpu.ops import segment as _seg
+    from pygat_tpu.parallel.distributed import sharded_fit_inputs
+
+    if mesh.devices.size > 1 and _seg._segment_impl in ("auto", "stream"):
+        _seg.set_segment_impl("scatter")
+    return sharded_fit_inputs(data, state, mesh)
+
+
 @dataclass
 class FitResult:
     best_epoch: int
@@ -94,6 +110,7 @@ def fit_transductive(
     log_every: int = 1,
     init_params: Any = None,
     resume: bool = False,
+    mesh=None,
 ) -> FitResult:
     """Reference policy: track best val loss, patience counter, save every
     epoch, rotate non-best, restore best, test (train.py:191-236).
@@ -102,6 +119,10 @@ def fit_transductive(
     (full TrainState incl. optimizer moments and RNG key — exact
     continuation, the reference only saved model weights) and continue the
     epoch count / best-val / patience bookkeeping from its header.
+
+    ``mesh``: a ('data', 'model') jax mesh turns the loop SPMD — node/edge
+    arrays shard on 'data' (graph partitioning), head-stacked parameters on
+    'model'; GSPMD inserts the ICI collectives. Same math, same results.
     """
     from pygat_tpu.ops.dispatch import get_backend
 
@@ -127,6 +148,8 @@ def fit_transductive(
                        # checkpoint of a finished run (post-best epochs will
                        # be re-trained from it)
                        from_best=(header["epoch"] == header.get("best_epoch")))
+    if mesh is not None:
+        data, state = _enter_mesh(data, state, mesh)
     tiles = None
     if get_backend() == "pallas" and cfg.layer_type == "GAT_sparse":
         from pygat_tpu.ops.tiles import tile_graph
@@ -386,6 +409,121 @@ def stack_batches(batches):
     return xs, graphs, ys
 
 
+# ---------------------------------------------------------------------------
+# Inductive data parallelism (SURVEY §2.11 item 1; VERDICT r1 item 3):
+# PPI graph-batches sharded across the mesh 'data' axis with gradient
+# all-reduce over ICI. Reference batching: load_data_ppi.py:71-88; loop:
+# train_ppi.py:112-152.
+# ---------------------------------------------------------------------------
+
+
+def superbatch(stacked, n_data: int):
+    """Group [B, ...] stacked batches into [S, D, ...] super-steps plus a
+    [S, D] weight matrix (0 on padding slots). Each super-step is ONE
+    optimizer update from the weighted mean loss of its D batches — the
+    standard data-parallel batching semantics (global batch = D
+    graph-batches)."""
+    b = jax.tree_util.tree_leaves(stacked)[0].shape[0]
+    s = -(-b // n_data)
+    pad = s * n_data - b
+    # padding slots repeat existing batches (weight 0 — they never reach
+    # the loss); index modulo handles pad > b (e.g. a 1-batch split)
+    idx = jnp.arange(s * n_data) % b
+
+    def grow(leaf):
+        if pad:
+            leaf = leaf[idx]
+        return leaf.reshape((s, n_data) + leaf.shape[1:])
+
+    w = jnp.concatenate(
+        [jnp.ones((b,), jnp.float32), jnp.zeros((pad,), jnp.float32)]
+    ).reshape(s, n_data)
+    return jax.tree_util.tree_map(grow, stacked), w
+
+
+def place_superbatches(stacked, weights, mesh):
+    """Shard the D axis of [S, D, ...] super-stacked leaves on 'data'."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from pygat_tpu.parallel.mesh import DATA_AXIS
+
+    def put(leaf):
+        spec = P(None, DATA_AXIS, *([None] * (leaf.ndim - 2)))
+        return jax.device_put(leaf, NamedSharding(mesh, spec))
+
+    return (
+        jax.tree_util.tree_map(put, stacked),
+        jax.device_put(
+            weights, NamedSharding(mesh, P(None, DATA_AXIS))
+        ),
+    )
+
+
+def make_sharded_inductive_epochs(cfg: GATConfig,
+                                  tx: optax.GradientTransformation, mesh):
+    """(train_epoch, eval_epoch) over [S, D, ...] super-stacked batches.
+
+    Each mesh 'data' slice computes one graph-batch's loss; GSPMD inserts
+    the gradient all-reduce (weighted mean over the D slots). Inside the
+    vmapped per-batch loss the segment ops are pinned to the XLA lowering:
+    a Pallas custom call cannot be partition-propagated by GSPMD across the
+    vmapped data axis.
+    """
+    from pygat_tpu.ops import segment as _seg
+
+    def _batch_loss(params, x, graph, y, key, train):
+        prev = _seg._segment_impl
+        _seg.set_segment_impl("scatter")
+        try:
+            out = apply_gat(params, cfg, x, graph, key, train=train)
+        finally:
+            _seg.set_segment_impl(prev)
+        mask = graph.node_mask
+        loss = bce_with_logits(out, y, mask=mask)
+        return loss, (micro_f1(out, y, mask=mask), out)
+
+    def _super_loss(params, xs, graphs, ys, w, key):
+        keys = jax.random.split(key, w.shape[0])
+        losses, (f1s, _) = jax.vmap(
+            lambda x, g, y, k: _batch_loss(params, x, g, y, k, True)
+        )(xs, graphs, ys, keys)
+        wsum = jnp.maximum(w.sum(), 1.0)
+        return (losses * w).sum() / wsum, (losses, f1s)
+
+    @jax.jit
+    def train_epoch(state: TrainState, stacked, weights):
+        def body(st, sb):
+            batch, w = sb
+            xs, graphs, ys = batch
+            rng, key = jax.random.split(st.rng)
+            (_, (losses, f1s)), grads = jax.value_and_grad(
+                _super_loss, has_aux=True
+            )(st.params, xs, graphs, ys, w, key)
+            updates, opt_state = tx.update(grads, st.opt_state, st.params)
+            params = optax.apply_updates(st.params, updates)
+            return TrainState(st.step + 1, params, opt_state, rng), (losses, f1s)
+
+        return jax.lax.scan(body, state, (stacked, weights))
+
+    @jax.jit
+    def eval_epoch(params, stacked, weights):
+        def body(_, sb):
+            batch, w = sb
+            xs, graphs, ys = batch
+            keys = jnp.broadcast_to(jax.random.PRNGKey(0), (w.shape[0], 2))
+
+            def one(x, g, y, k):
+                loss, (f1, out) = _batch_loss(params, x, g, y, k, False)
+                tp, fp, fn = f1_counts(out, y, mask=g.node_mask)
+                return loss, f1, tp, fp, fn
+
+            return None, jax.vmap(one)(xs, graphs, ys, keys)
+
+        return jax.lax.scan(body, None, (stacked, weights))[1]
+
+    return train_epoch, eval_epoch
+
+
 def fit_inductive_fast(
     cfg: GATConfig,
     data,  # pygat_tpu.data.ppi.PPIData
@@ -400,10 +538,18 @@ def fit_inductive_fast(
     dataset_tag: str = "ppi",
     logger: TrainLogger | None = None,
     init_params: Any = None,
+    mesh=None,
 ) -> FitResult:
     """fit_inductive with one device dispatch per train/eval epoch (scan over
     stacked batches). Same policy and math; per-batch logs are summarized to
-    per-epoch means."""
+    per-epoch means.
+
+    ``mesh``: a ('data', 'model') jax mesh enables inductive data
+    parallelism — graph-batches are grouped D = mesh['data'] at a time into
+    one optimizer step each (weighted-mean loss, gradient all-reduce over
+    ICI; standard DP semantics: the effective batch becomes D graph-batches)
+    with head-stacked parameters sharded on 'model'.
+    """
     from pygat_tpu.data.ppi import batch_bounds, make_batches
 
     logger = logger or TrainLogger()
@@ -412,7 +558,15 @@ def fit_inductive_fast(
     key, init_key = jax.random.split(key)
     params = init_params if init_params is not None else init_gat(init_key, cfg)
     state = init_state(params, tx, key)
-    train_epoch, eval_epoch = make_scanned_batches(cfg, tx)
+    if mesh is not None:
+        from pygat_tpu.parallel.distributed import shard_train_state
+        from pygat_tpu.parallel.mesh import DATA_AXIS
+
+        n_data = mesh.shape[DATA_AXIS]
+        state = shard_train_state(state, mesh)
+        train_epoch, eval_epoch = make_sharded_inductive_epochs(cfg, tx, mesh)
+    else:
+        train_epoch, eval_epoch = make_scanned_batches(cfg, tx)
 
     bounds = [batch_bounds(g, batch_size) for g in (data.train, data.valid, data.test)]
     n_pad = max(b[0] for b in bounds)
@@ -421,6 +575,10 @@ def fit_inductive_fast(
     val_stacked = stack_batches(
         list(make_batches(data.valid, batch_size, n_pad=n_pad, e_pad=e_pad))
     )
+    if mesh is not None:
+        val_stacked, val_w = place_superbatches(
+            *superbatch(val_stacked, n_data), mesh
+        )
 
     best = float("inf")
     best_epoch = 0
@@ -434,8 +592,18 @@ def fit_inductive_fast(
             list(make_batches(data.train, batch_size, n_pad=n_pad, e_pad=e_pad,
                               shuffle=True, seed=seed + epoch))
         )
-        state, (losses_tr, f1s_tr) = train_epoch(state, stacked)
-        losses_v, f1s_v, *_ = eval_epoch(state.params, val_stacked)
+        if mesh is not None:
+            stacked, w_tr = place_superbatches(*superbatch(stacked, n_data), mesh)
+            state, (losses_tr, f1s_tr) = train_epoch(state, stacked, w_tr)
+            losses_v, f1s_v, *_ = eval_epoch(state.params, val_stacked, val_w)
+            # weighted means: padding slots carry weight 0
+            losses_tr = (losses_tr * w_tr).sum() / w_tr.sum()
+            f1s_tr = (f1s_tr * w_tr).sum() / w_tr.sum()
+            losses_v = (losses_v * val_w).sum() / val_w.sum()
+            f1s_v = (f1s_v * val_w).sum() / val_w.sum()
+        else:
+            state, (losses_tr, f1s_tr) = train_epoch(state, stacked)
+            losses_v, f1s_v, *_ = eval_epoch(state.params, val_stacked)
         loss_val = float(jnp.mean(losses_v))
         logger.log(
             "ppi_epoch", epoch=epoch,
@@ -470,9 +638,20 @@ def fit_inductive_fast(
     test_stacked = stack_batches(
         list(make_batches(data.test, batch_size, n_pad=n_pad, e_pad=e_pad))
     )
-    losses_t, _, tps, fps, fns = eval_epoch(state.params, test_stacked)
-    test_loss = float(jnp.mean(losses_t))
-    tp, fp, fn = float(jnp.sum(tps)), float(jnp.sum(fps)), float(jnp.sum(fns))
+    if mesh is not None:
+        test_stacked, test_w = place_superbatches(
+            *superbatch(test_stacked, n_data), mesh
+        )
+        losses_t, _, tps, fps, fns = eval_epoch(state.params, test_stacked,
+                                                test_w)
+        test_loss = float((losses_t * test_w).sum() / test_w.sum())
+        tp = float((tps * test_w).sum())
+        fp = float((fps * test_w).sum())
+        fn = float((fns * test_w).sum())
+    else:
+        losses_t, _, tps, fps, fns = eval_epoch(state.params, test_stacked)
+        test_loss = float(jnp.mean(losses_t))
+        tp, fp, fn = float(jnp.sum(tps)), float(jnp.sum(fps)), float(jnp.sum(fns))
     test_f1 = 2 * tp / max(2 * tp + fp + fn, 1.0)
     logger.log("test", loss=test_loss, accuracy=test_f1)
     return FitResult(
@@ -593,12 +772,14 @@ def fit_transductive_fast(
     logger: TrainLogger | None = None,
     log_every: int = 50,
     init_params: Any = None,
+    mesh=None,
 ) -> FitResult:
     """Same policy/result as fit_transductive (best-val params are restored
     exactly, tracked on device), but the host syncs once per ``epoch_chunk``
     epochs: early stopping can overshoot by up to epoch_chunk-1 epochs of
     extra compute, never changing the selected model. Checkpoints are
-    written at chunk boundaries (full state) rather than every epoch."""
+    written at chunk boundaries (full state) rather than every epoch.
+    ``mesh``: SPMD over a ('data', 'model') mesh (see fit_transductive)."""
     from pygat_tpu.ops.dispatch import get_backend
 
     logger = logger or TrainLogger()
@@ -607,6 +788,9 @@ def fit_transductive_fast(
     key, init_key = jax.random.split(key)
     params = init_params if init_params is not None else init_gat(init_key, cfg)
     state = init_state(params, tx, key)
+    if mesh is not None:
+        data, state = _enter_mesh(data, state, mesh)
+        params = state.params
     tiles = None
     if get_backend() == "pallas" and cfg.layer_type == "GAT_sparse":
         from pygat_tpu.ops.tiles import tile_graph

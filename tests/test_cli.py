@@ -65,3 +65,34 @@ def test_debug_cli_dumps_graph(tmp_path):
     # unoptimized lowering is StableHLO text; optimized is classic HLO
     assert "HloModule" in hlo or "module @jit" in hlo
     assert "primitive histogram" in out.getvalue()
+
+
+def test_train_cli_mesh_matches_unsharded(tmp_path):
+    """--mesh D,M trains SPMD over the CPU mesh and reproduces the
+    unsharded run's losses (VERDICT r1 item 4)."""
+    from pygat_tpu.cli.train import main
+
+    losses = {}
+    for tag, extra in (("plain", []), ("mesh", ["--mesh", "4,2"])):
+        jsonl = tmp_path / f"{tag}.jsonl"
+        out = io.StringIO()
+        with redirect_stdout(out):
+            rc = main([
+                "--dataset", "cora", "--model", "GAT_sparse", "--epochs", "3",
+                "--no-checkpoint", "--jsonl", str(jsonl), *extra,
+            ])
+        assert rc == 0
+        recs = [json.loads(l) for l in open(jsonl) if json.loads(l)["kind"] == "epoch"]
+        losses[tag] = [(r["loss_train"], r["loss_val"]) for r in recs]
+    np.testing.assert_allclose(losses["mesh"], losses["plain"],
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_train_ppi_cli_mesh_flag_guard():
+    from pygat_tpu.cli.train_ppi import main
+
+    try:
+        main(["--mesh", "2,1", "--epochs", "1"])
+        raise AssertionError("expected SystemExit")
+    except SystemExit as e:
+        assert "--epoch-scan" in str(e)

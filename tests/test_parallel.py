@@ -99,3 +99,108 @@ def test_param_head_sharding_layout():
     # 8 heads shard on model axis; the single-head output layer replicates
     assert specs[0].W == P("model", None, None)
     assert specs[1].W == P(None, None, None)
+
+
+# ---------------------------------------------------------------------------
+# Inductive (PPI) data parallelism — VERDICT r1 item 3 / SURVEY §2.11 item 1
+# ---------------------------------------------------------------------------
+
+
+def _tiny_ppi(n_graphs=8, n=40, f=16, labels_dim=6):
+    import scipy.sparse as sp
+
+    from pygat_tpu.data.ppi import PPIData, PPIGraph
+    from pygat_tpu.data.preprocess import normalize_adj
+    from pygat_tpu.data.synthetic import planted_partition_graph
+
+    rng = np.random.default_rng(0)
+    R = rng.standard_normal((f, labels_dim)).astype(np.float32)
+
+    def mk(n, name):
+        s, r, _ = planted_partition_graph(n, 3, name, avg_degree=6)
+        adj = sp.coo_matrix((np.ones(len(s), np.float32), (r, s)), shape=(n, n)).tocsr()
+        adj.data[:] = 1.0
+        adj = normalize_adj(adj + sp.eye(n, format="csr", dtype=np.float32)).tocoo()
+        feats = rng.standard_normal((n, f)).astype(np.float32)
+        labels = (feats @ R > 0.5).astype(np.float32)
+        return PPIGraph(feats, labels, adj.col.astype(np.int64),
+                        adj.row.astype(np.int64), adj.data.astype(np.float32), n)
+
+    return PPIData(
+        train=[mk(n, f"t{i}") for i in range(n_graphs)],
+        valid=[mk(n - 5, "v0"), mk(n - 3, "v1")],
+        test=[mk(n - 8, "x0"), mk(n - 2, "x1")],
+        synthetic_parts=("all",),
+    )
+
+
+def test_inductive_dp_matches_replicated():
+    """Sharded super-batch training (graph-batches on 'data', heads on
+    'model') == the same super-batched math on a 1-device mesh."""
+    from pygat_tpu.data.ppi import batch_bounds, make_batches
+    from pygat_tpu.parallel.distributed import shard_train_state
+    from pygat_tpu.train.loop import (
+        make_sharded_inductive_epochs,
+        place_superbatches,
+        stack_batches,
+        superbatch,
+    )
+
+    data = _tiny_ppi()
+    cfg = GATConfig(nlayers=2, nheads=(2, 2), nfeats=(128, 16, 6), dropout=0.0,
+                    alpha=0.2, layer_type="GAT_sparse", skip_connection=True)
+    tx = make_optimizer(0.01, 0.0)
+    params = init_gat(jax.random.PRNGKey(3), cfg)
+
+    n_pad, e_pad = batch_bounds(data.train, 2)
+    stacked = stack_batches(
+        list(make_batches(data.train, 2, n_pad=n_pad, e_pad=e_pad))
+    )
+    sb, w = superbatch(stacked, 4)  # [S=1, D=4, ...]
+
+    results = {}
+    for shape in ((4, 2), (1, 1)):
+        mesh = make_mesh(*shape)
+        state = shard_train_state(
+            init_state(params, tx, jax.random.PRNGKey(5)), mesh
+        )
+        train_epoch, eval_epoch = make_sharded_inductive_epochs(cfg, tx, mesh)
+        psb, pw = place_superbatches(sb, w, mesh)
+        for _ in range(3):
+            state, (losses, f1s) = train_epoch(state, psb, pw)
+        ev = eval_epoch(state.params, psb, pw)
+        results[shape] = (np.asarray(losses), np.asarray(f1s),
+                          [np.asarray(v) for v in ev],
+                          jax.tree_util.tree_leaves(state.params))
+    a, b = results[(4, 2)], results[(1, 1)]
+    np.testing.assert_allclose(a[0], b[0], rtol=2e-4, atol=1e-5)
+    np.testing.assert_allclose(a[1], b[1], rtol=2e-4, atol=1e-5)
+    for va, vb in zip(a[2], b[2]):
+        np.testing.assert_allclose(va, vb, rtol=2e-4, atol=1e-5)
+    for la, lb in zip(a[3], b[3]):
+        np.testing.assert_allclose(la, lb, rtol=5e-4, atol=1e-5)
+
+
+def test_fit_inductive_fast_mesh():
+    """fit_inductive_fast(mesh=...) trains end-to-end; a 1-device-data mesh
+    reproduces the unsharded scanned loop exactly (D=1 grouping == the
+    sequential per-batch optimizer schedule)."""
+    import os
+
+    from pygat_tpu.train.logging import TrainLogger
+    from pygat_tpu.train.loop import fit_inductive_fast
+
+    data = _tiny_ppi()
+    cfg = GATConfig(nlayers=2, nheads=(2, 2), nfeats=(128, 16, 6), dropout=0.0,
+                    alpha=0.2, layer_type="GAT_sparse", skip_connection=True)
+    kw = dict(batch_size=2, lr=0.01, weight_decay=0.0, epochs=4, patience=10,
+              logger=TrainLogger(stream=open(os.devnull, "w")))
+
+    res_plain = fit_inductive_fast(cfg, data, **kw)
+    res_rep = fit_inductive_fast(cfg, data, mesh=make_mesh(1, 1), **kw)
+    np.testing.assert_allclose(res_rep.history, res_plain.history,
+                               rtol=2e-4, atol=1e-5)
+
+    res_dp = fit_inductive_fast(cfg, data, mesh=make_mesh(4, 2), **kw)
+    assert np.isfinite(res_dp.history).all()
+    assert res_dp.test_acc > 0.3
