@@ -33,6 +33,12 @@ from pygat_tpu.models.layers import (
 
 LAYER_TYPES = ("GAT", "GAT_sparse", "GATv2", "GATv2_sparse")
 
+# Dense attention switches from vmapped heads to sequential rematerialized
+# heads above this many bytes of [H, N, N] attention (see apply_gat).
+_DENSE_VMAP_BYTES = int(
+    __import__("os").environ.get("PYGAT_DENSE_VMAP_BYTES", 2 << 30)
+)
+
 
 class GATConfig(NamedTuple):
     nlayers: int
@@ -181,10 +187,12 @@ def apply_gat(
     from pygat_tpu.models.layers import NO_MASKS, draw_masks
 
     use_drop = train and cfg.dropout > 0.0
+    n_pad = x.shape[0]
     h = x
     for i, layer_params in enumerate(params):
         concat = i < cfg.nlayers - 1
         n_heads = jax.tree_util.tree_leaves(layer_params)[0].shape[0]
+        f_out = jax.tree_util.tree_leaves(layer_params)[0].shape[-1]
         rng, layer_key = jax.random.split(rng)
 
         def run_head(p, m, h=h, concat=concat):
@@ -199,13 +207,42 @@ def apply_gat(
                 train=train,
             )
 
-        if use_drop:
+        # Memory policy (VERDICT r1 item 7): the vmapped path materializes
+        # [H, N, N] attention (and, in train, [H, N, N] dropout masks) —
+        # ~12.6 GB each for the Pubmed dense preset, past one v5e's HBM
+        # (the reference hits the same O(N^2) wall at ~7 GB, README.md:26).
+        # Above the threshold, heads run SEQUENTIALLY under lax.scan with
+        # jax.checkpoint: peak memory is a few [N, N] buffers regardless of
+        # H, and the backward recomputes each head's attention instead of
+        # saving it. Masks are drawn inside the checkpointed body, so they
+        # are rematerialized too (deterministic per-head keys).
+        big = n_heads * n_pad * n_pad * 4 > _DENSE_VMAP_BYTES
+        if big:
+            keys = jax.random.split(layer_key, n_heads)
+
+            @jax.checkpoint
+            def head_body(p, key, h=h, concat=concat):
+                m = (
+                    draw_masks(
+                        key, cfg.layer_type, cfg.dropout,
+                        n=h.shape[0], f_in=h.shape[1], f_out=f_out, e=0,
+                    )
+                    if use_drop
+                    else NO_MASKS
+                )
+                return run_head(p, m, h=h, concat=concat)
+
+            def step(_, ph):
+                p, key = ph
+                return None, head_body(p, key)
+
+            _, outs = jax.lax.scan(step, None, (layer_params, keys))
+        elif use_drop:
             # per-head masks drawn in ONE bernoulli per site ([H, ...]):
             # vmapping per-head PRNG keys serializes the hardware generator
             masks = draw_masks(
                 layer_key, cfg.layer_type, cfg.dropout,
-                n=h.shape[0], f_in=h.shape[1],
-                f_out=jax.tree_util.tree_leaves(layer_params)[0].shape[-1],
+                n=h.shape[0], f_in=h.shape[1], f_out=f_out,
                 e=graph.num_edges_padded, heads=n_heads,
             )
             outs = jax.vmap(run_head)(layer_params, masks)  # [H, N, F_out]

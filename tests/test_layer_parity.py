@@ -220,3 +220,41 @@ def test_heads_path_dropout_statistics(random_graph_tuple, rng):
     # per-head masks are independent draws
     a, b = np.asarray(m.m_in[0]), np.asarray(m.m_in[1])
     assert (a != b).mean() > 0.3
+
+
+def test_dense_head_scan_matches_vmap(random_graph_tuple):
+    """The memory-diet dense path (sequential rematerialized heads, used
+    above the [H, N, N] byte threshold) == the vmapped path, values and
+    gradients (eval mode: dropout masks are the only rng divergence)."""
+    import pygat_tpu.models.gat as gat_mod
+    from pygat_tpu.graph import build_graph
+    from pygat_tpu.models.gat import GATConfig, apply_gat, init_gat
+
+    send, recv, w, n = random_graph_tuple
+    g = build_graph(send, recv, w, n)
+    rng = np.random.default_rng(8)
+    x = jnp.asarray(rng.standard_normal((g.num_nodes_padded, 24)).astype(np.float32))
+    for lt in ("GAT", "GATv2"):
+        cfg = GATConfig(nlayers=2, nheads=(3, 2), nfeats=(24, 6, 4),
+                        dropout=0.0, alpha=0.2, layer_type=lt,
+                        skip_connection=True)
+        params = init_gat(jax.random.PRNGKey(2), cfg)
+        key = jax.random.PRNGKey(0)
+
+        def loss(p, thresh):
+            old = gat_mod._DENSE_VMAP_BYTES
+            gat_mod._DENSE_VMAP_BYTES = thresh
+            try:
+                out = apply_gat(p, cfg, x, g, key, train=False)
+            finally:
+                gat_mod._DENSE_VMAP_BYTES = old
+            return (out * out).sum(), out
+
+        (lv, out_v), grad_v = jax.value_and_grad(loss, has_aux=True)(params, 2 << 30)
+        (ls, out_s), grad_s = jax.value_and_grad(loss, has_aux=True)(params, 0)
+        np.testing.assert_allclose(np.asarray(out_s), np.asarray(out_v),
+                                   rtol=1e-5, atol=1e-6)
+        for a, b in zip(jax.tree_util.tree_leaves(grad_s),
+                        jax.tree_util.tree_leaves(grad_v)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-4, atol=1e-5)
