@@ -33,8 +33,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--epochs", type=int, default=10000)
     p.add_argument("--patience", type=int, default=100)
     # --- new, TPU-native ---
-    p.add_argument("--backend", type=str, default=None, choices=["xla", "pallas"],
-                   help="sparse kernel backend")
+    p.add_argument("--backend", type=str, default=None,
+                   choices=["stream", "xla", "pallas"],
+                   help="sparse kernel backend: stream = Pallas "
+                        "stream-scatter segment sums (TPU default), xla = "
+                        "scatter lowering, pallas = round-1 fused BCSR "
+                        "kernel")
     p.add_argument("--platform", type=str, default=None,
                    help="force a JAX platform (e.g. cpu)")
     p.add_argument("--checkpoint-dir", type=str, default="checkpoints")
@@ -81,7 +85,14 @@ def main(argv=None) -> int:
     from pygat_tpu.train.loop import fit_transductive, fit_transductive_fast
 
     if args.backend:
-        set_backend(args.backend)
+        from pygat_tpu.ops.segment import set_segment_impl
+
+        if args.backend == "stream":
+            set_backend("xla")
+            set_segment_impl("stream")
+        else:
+            set_backend(args.backend)
+            set_segment_impl("scatter")
 
     data = load_citation(args.dataset, data_root=args.data_root,
                          reorder=args.reorder)

@@ -33,7 +33,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--batch_size", type=int, default=2,
                    help="Number of graphs that are passed during training")
     # --- new, TPU-native ---
-    p.add_argument("--backend", type=str, default=None, choices=["xla", "pallas"])
+    p.add_argument("--backend", type=str, default=None,
+                   choices=["stream", "xla", "pallas"])
     p.add_argument("--platform", type=str, default=None)
     p.add_argument("--checkpoint-dir", type=str, default="checkpoints")
     p.add_argument("--no-checkpoint", action="store_true", default=False)
@@ -69,7 +70,14 @@ def main(argv=None) -> int:
     from pygat_tpu.utils.padding import round_up
 
     if args.backend:
-        set_backend(args.backend)
+        from pygat_tpu.ops.segment import set_segment_impl
+
+        if args.backend == "stream":
+            set_backend("xla")
+            set_segment_impl("stream")
+        else:
+            set_backend(args.backend)
+            set_segment_impl("scatter")
 
     data = load_ppi(data_root=args.data_root)
     print(f"PPI graphs: {len(data.train)} train / {len(data.valid)} valid / "
