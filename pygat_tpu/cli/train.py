@@ -136,12 +136,9 @@ def main(argv=None) -> int:
         mesh = make_mesh(n_data, n_model)
         print(f"mesh: data={n_data} model={n_model}")
     if args.epoch_chunk > 1:
-        if args.resume_training:
-            raise SystemExit("--resume requires the classic loop "
-                             "(--epoch-chunk 1); chunked checkpoints are "
-                             "written at chunk boundaries only")
         result = fit_transductive_fast(cfg, data, epoch_chunk=args.epoch_chunk,
-                                       mesh=mesh, **common)
+                                       mesh=mesh, resume=args.resume_training,
+                                       **common)
     else:
         result = fit_transductive(cfg, data, resume=args.resume_training,
                                   mesh=mesh, **common)

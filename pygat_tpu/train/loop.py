@@ -773,13 +773,19 @@ def fit_transductive_fast(
     log_every: int = 50,
     init_params: Any = None,
     mesh=None,
+    resume: bool = False,
 ) -> FitResult:
     """Same policy/result as fit_transductive (best-val params are restored
     exactly, tracked on device), but the host syncs once per ``epoch_chunk``
     epochs: early stopping can overshoot by up to epoch_chunk-1 epochs of
     extra compute, never changing the selected model. Checkpoints are
     written at chunk boundaries (full state) rather than every epoch.
-    ``mesh``: SPMD over a ('data', 'model') mesh (see fit_transductive)."""
+    ``mesh``: SPMD over a ('data', 'model') mesh (see fit_transductive).
+
+    ``resume=True`` continues exactly from the newest chunk checkpoint:
+    the header carries the val-loss history (for the patience policy) and
+    the best-val bookkeeping; the best parameters reload from the
+    ``{tag}-best`` checkpoint refreshed at every chunk boundary."""
     from pygat_tpu.ops.dispatch import get_backend
 
     logger = logger or TrainLogger()
@@ -805,6 +811,27 @@ def fit_transductive_fast(
     carry = (state, jnp.asarray(jnp.inf), params, jnp.asarray(-1, jnp.int32))
 
     history: list[float] = []
+    if resume and checkpoint_dir:
+        found = ckpt.latest(checkpoint_dir, dataset_tag)
+        if found is not None:
+            _, path = found
+            state, header = ckpt.restore(path, like=state)
+            history = [float(v) for v in header.get("history", [])]
+            best_val = float(header.get("best", np.inf))
+            best_epoch = int(header.get("best_epoch", -1))
+            best_params = state.params
+            bfound = ckpt.latest(checkpoint_dir, dataset_tag + "-best")
+            if bfound is not None and best_epoch >= 0:
+                bstate, _ = ckpt.restore(bfound[1], like=state)
+                best_params = bstate.params
+            if mesh is not None:
+                from pygat_tpu.parallel.distributed import shard_train_state
+
+                state = shard_train_state(state, mesh)
+            carry = (state, jnp.asarray(best_val), best_params,
+                     jnp.asarray(best_epoch, jnp.int32))
+            logger.log("resume", epoch=len(history) - 1, best=best_val,
+                       path=path)
     t0 = time.time()
     stopped = False
     while len(history) < epochs and not stopped:
@@ -833,8 +860,24 @@ def fit_transductive_fast(
             if epoch_idx + 1 >= epochs:
                 break
         if checkpoint_dir:
-            ckpt.save(checkpoint_dir, len(history) - 1, dataset_tag, carry[0])
+            # chunk-boundary checkpoint with full resume bookkeeping:
+            # header carries the history (patience state) + best-val; the
+            # best params refresh in the {tag}-best file
+            be = int(carry[3])
+            ckpt.save(checkpoint_dir, len(history) - 1, dataset_tag, carry[0],
+                      extra={"best": float(carry[1]), "best_epoch": be,
+                             "history": history})
             ckpt.rotate_below_best(checkpoint_dir, dataset_tag, len(history) - 1)
+            if be >= 0:
+                ckpt.save(checkpoint_dir, be, dataset_tag + "-best",
+                          carry[0]._replace(params=carry[2]))
+                for e_old, p_old in ckpt.list_checkpoints(
+                    checkpoint_dir, dataset_tag + "-best"
+                ):
+                    if e_old != be:
+                        import os as _os
+
+                        _os.remove(p_old)
 
     state, best_val, best_params, best_epoch = carry
     final_state = state._replace(params=best_params)
