@@ -11,8 +11,20 @@ TPU-native replacements for the reference's native ops:
 """
 
 from pygat_tpu.ops.segment import (  # noqa: F401
+    gather_receivers,
+    gather_senders,
     segment_max,
     segment_softmax_stable,
     segment_sum,
+    segment_sum_receivers,
+    segment_sum_senders,
+    set_segment_impl,
+)
+from pygat_tpu.ops.spmm import spmm, spmm_graph  # noqa: F401
+from pygat_tpu.ops.sddmm import sddmm, sddmm_graph  # noqa: F401
+from pygat_tpu.ops.stream import (  # noqa: F401
+    build_stream_layout,
+    stream_scatter,
+    stream_segment_sum,
 )
 from pygat_tpu.ops.dispatch import get_backend, set_backend  # noqa: F401
