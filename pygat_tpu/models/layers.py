@@ -145,30 +145,6 @@ def leaky_relu(x, alpha: float):
     return jnp.where(x >= 0, x, alpha * x)
 
 
-def keep_mask_u8(key, keep_prob: float, shape):
-    """(keep_mask bool, q): dropout keep mask from 8-bit random thresholds.
-
-    ``jax.random.bernoulli`` draws 32 hardware-RNG bits per element; the
-    rng-bit-generator was ~0.56 ms/step on the Pubmed presets ([N, H, F_in]
-    per-head input masks). Drawing u32 words and bitcasting to 4 uint8
-    lanes cuts the generated bits 4x. The keep probability quantizes to
-    q = round(keep_prob * 256) / 256; callers scale survivors by 1/q (not
-    1/keep_prob), so the mask stays an UNBIASED inverted-dropout estimator
-    — only the drop rate moves by <= 1/512.
-
-    The trailing dimension must be a multiple of 4.
-    """
-    if shape[-1] % 4:
-        raise ValueError(f"last dim {shape[-1]} must be a multiple of 4")
-    t = max(1, min(255, round(keep_prob * 256)))
-    q = t / 256.0
-    words = jax.random.bits(
-        key, shape[:-1] + (shape[-1] // 4,), dtype=jnp.uint32
-    )
-    bytes_ = jax.lax.bitcast_convert_type(words, jnp.uint8)
-    return bytes_.reshape(shape) < jnp.uint8(t), q
-
-
 def _finish(h_prime, h_dropped, skip, concat: bool):
     """Shared tail: optional skip projection (from the dropped input, as the
     reference does at layers.py:166) then ELU iff non-final layer."""
@@ -405,9 +381,8 @@ def gat_v1_sparse_heads(
         # ONE block-diagonal matmul [N, H*F_in] @ [H*F_in, H*F_out]: a
         # batched "hnf,hfo->nho" einsum would emit a lane-padded [N, H, 8]
         # intermediate (16x relayout traffic); the 8x block-diag FLOP waste
-        # is trivial next to that. Masks come from 8-bit thresholds
-        # (keep_mask_u8): 4x fewer hardware-RNG bits, unbiased via the
-        # quantized keep probability q.
+        # is trivial next to that. Masks are one batched bernoulli per site
+        # via _keep (see its docstring for the measured alternative).
         keep_in, q_in = _keep(k_in, keep, (n, n_heads, f_in))
         # bf16 storage for the masked copies: the MXU's DEFAULT-precision
         # f32 matmul already multiplies at bf16-class precision, so this

@@ -109,8 +109,11 @@ def _stream_ok(data) -> bool:
 # ---------------------------------------------------------------------------
 
 
-def segment_sum_receivers(data, graph, *, precision: str = "high"):
-    """Sum edge ``data`` [E_pad, ...] per receiver -> [N_pad, ...]."""
+def segment_sum_receivers(data, graph, *, precision: str | None = None):
+    """Sum edge ``data`` [E_pad, ...] per receiver -> [N_pad, ...].
+
+    ``precision=None`` uses the global PYGAT_STREAM_PRECISION default;
+    'high'/'fastest' override it for this call (stream kernel only)."""
     if (
         _stream_enabled()
         and graph.r_local is not None
@@ -120,13 +123,17 @@ def segment_sum_receivers(data, graph, *, precision: str = "high"):
 
         return stream_segment_sum(
             data, graph.receivers, graph.r_local, graph.r_chunk,
-            graph.num_nodes_padded, _STREAM_PRECISION, _stream_interpret(),
+            graph.num_nodes_padded, precision or _STREAM_PRECISION,
+            _stream_interpret(),
         )
     return sorted_segment_sum(data, graph.receivers, graph.row_ptr)
 
 
-def segment_sum_senders(data, graph, *, precision: str = "high"):
-    """Sum edge ``data`` [E_pad, ...] per sender -> [N_pad, ...]."""
+def segment_sum_senders(data, graph, *, precision: str | None = None):
+    """Sum edge ``data`` [E_pad, ...] per sender -> [N_pad, ...].
+
+    ``precision=None`` uses the global PYGAT_STREAM_PRECISION default;
+    'high'/'fastest' override it for this call (stream kernel only)."""
     if (
         _stream_enabled()
         and graph.c_local is not None
@@ -136,7 +143,8 @@ def segment_sum_senders(data, graph, *, precision: str = "high"):
 
         return stream_sender_segment_sum(
             data, graph.senders, graph.c_slot, graph.c_local, graph.c_chunk,
-            None, graph.num_nodes_padded, _STREAM_PRECISION, _stream_interpret(),
+            None, graph.num_nodes_padded, precision or _STREAM_PRECISION,
+            _stream_interpret(),
         )
     if graph.col_perm is None:
         return jax.ops.segment_sum(

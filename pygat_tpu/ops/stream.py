@@ -70,9 +70,13 @@ class StreamLayout(NamedTuple):
 def stream_length(e_pad: int, n_pad: int) -> int:
     """Deterministic stream-length upper bound for static-shape bucketing:
     enough for any degree distribution with ``e_pad`` edge slots over
-    ``n_pad`` nodes (PPI batches share one compiled shape this way)."""
+    ``n_pad`` nodes (PPI batches share one compiled shape this way).
+
+    Each non-empty tile wastes at most EC-1 alignment slots; each EMPTY
+    tile still costs one all-dead chunk (EC slots) — every output tile must
+    be visited by >= 1 grid step or its HBM block is never written."""
     n_tiles = n_pad // TILE
-    return -(-(e_pad + n_tiles * (EC - 1)) // _ALIGN) * _ALIGN
+    return -(-(e_pad + n_tiles * EC) // _ALIGN) * _ALIGN
 
 
 def build_stream_layout(
@@ -99,7 +103,12 @@ def build_stream_layout(
     if tile_ptr.shape[0] != n_tiles + 1:
         tile_ptr = np.append(tile_ptr, ptr[-1])
     tile_counts = np.diff(tile_ptr)
-    chunks_per_tile = -(-tile_counts // EC)
+    # Every tile gets >= 1 chunk, even when it has no edges: the kernel
+    # zero-initializes an output block only on the FIRST grid step that
+    # visits its tile, so a tile with zero chunks would leave its HBM block
+    # uninitialized (NaN rows that poison downstream matmul backwards).
+    # An empty tile costs one all-dead chunk (EC slots of pure padding).
+    chunks_per_tile = np.maximum(-(-tile_counts // EC), 1)
     c_real = int(chunks_per_tile.sum())
     e_s_real = c_real * EC
     if stream_pad is not None:
@@ -127,8 +136,9 @@ def build_stream_layout(
     row_of_pos = np.repeat(np.arange(n_pad, dtype=np.int64), np.diff(ptr))
     local[stream_pos] = (row_of_pos - t_of_pos * TILE).astype(np.int32)
 
-    nz = np.flatnonzero(chunks_per_tile)
-    chunk_tile[:c_real] = np.repeat(nz.astype(np.int32), chunks_per_tile[nz])
+    chunk_tile[:c_real] = np.repeat(
+        np.arange(n_tiles, dtype=np.int32), chunks_per_tile
+    )
     return StreamLayout(slot=slot, local=local, chunk_tile=chunk_tile)
 
 

@@ -36,6 +36,17 @@ def _drop(x, key, rate):
     return jnp.where(keep, x / (1.0 - rate), 0.0)
 
 
+def _drop_heads(x, key, rate, n_heads):
+    """Per-head input dropout as ONE batched bernoulli ([H, *x.shape]).
+
+    Never vmap _drop over split per-head keys: with the hardware (rbg)
+    generator each key forces a serialized rng-bit-generator (~1000x slower
+    than one batched draw); one [H, ...] draw keeps heads independent at
+    full speed (same rule as models.layers.DropoutMasks)."""
+    keep = jax.random.bernoulli(key, 1.0 - rate, (n_heads,) + x.shape)
+    return jnp.where(keep, x / (1.0 - rate), 0.0)
+
+
 def _att_keep(key, rate, n_heads, part: EdgePartition):
     keep = jax.random.bernoulli(
         key, 1.0 - rate, (n_heads,) + tuple(part.edge_mask.shape)
@@ -74,9 +85,7 @@ def ring_apply_gat(
         if cfg.is_v2:
             f_in = h.shape[1]
             if use_drop:
-                x_h = jax.vmap(
-                    lambda k: _drop(h, k, p_drop)
-                )(jax.random.split(k_in, n_heads))  # [H, N, F_in]
+                x_h = _drop_heads(h, k_in, p_drop, n_heads)  # [H, N, F_in]
             else:
                 x_h = jnp.broadcast_to(h, (n_heads,) + h.shape)
             whi = jnp.einsum("hnf,hfo->hno", x_h, layer_params.W[:, :f_in])
@@ -92,9 +101,7 @@ def ring_apply_gat(
             )
         else:
             if use_drop:
-                x_h = jax.vmap(
-                    lambda k: _drop(h, k, p_drop)
-                )(jax.random.split(k_in, n_heads))
+                x_h = _drop_heads(h, k_in, p_drop, n_heads)
             else:
                 x_h = jnp.broadcast_to(h, (n_heads,) + h.shape)
             wh = jnp.einsum("hnf,hfo->hno", x_h, layer_params.W)

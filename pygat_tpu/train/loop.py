@@ -204,7 +204,9 @@ def fit_transductive(
             ckpt.save(checkpoint_dir, epoch, dataset_tag, state,
                       extra={"best": best, "best_epoch": best_epoch,
                              "bad": bad_counter})
-        if bad_counter == patience:
+        # >= (not ==): a resumed patience-stopped run restores bad_counter
+        # already at the limit and must stop again, not train past it
+        if bad_counter >= patience:
             break
         if checkpoint_dir:
             ckpt.rotate_below_best(checkpoint_dir, dataset_tag, best_epoch)
@@ -335,7 +337,7 @@ def fit_inductive(
             bad_counter = 0
         else:
             bad_counter += 1
-        if bad_counter == patience:
+        if bad_counter >= patience:
             break
         if checkpoint_dir:
             ckpt.rotate_below_best(checkpoint_dir, dataset_tag, best_epoch)
@@ -621,7 +623,7 @@ def fit_inductive_fast(
             bad_counter = 0
         else:
             bad_counter += 1
-        if bad_counter == patience:
+        if bad_counter >= patience:
             break
         if checkpoint_dir:
             ckpt.rotate_below_best(checkpoint_dir, dataset_tag, best_epoch)

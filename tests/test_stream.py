@@ -150,6 +150,35 @@ def test_stream_grad_matches_scatter_grad(graph):
         np.testing.assert_allclose(b, a, atol=1e-2 * scale)
 
 
+def test_empty_tiles_are_zero_initialized():
+    """Regression (ADVICE r2 high): a 128-row output tile with NO incident
+    edges must still be visited by >= 1 grid step, else its HBM block stays
+    uninitialized (NaN rows on TPU). Build a graph whose middle tile is
+    empty and check the stream segment-sum returns exact zeros there."""
+    n = 383  # padded to 3 tiles of 128 (row 383 is the dummy)
+    # edges only into tile 0 and tile 2; tile 1 (rows 128..255) is empty
+    rng = np.random.default_rng(5)
+    r = np.concatenate([rng.integers(0, 100, 500),
+                        rng.integers(256, 380, 500)])
+    s = rng.integers(0, n, 1000)
+    g = build_graph(s, r, None, n, n_pad=384)
+    # every tile must be covered by at least one chunk
+    covered = set(np.asarray(g.r_chunk).tolist())
+    assert covered == {0, 1, 2}, covered
+
+    data = jnp.ones((g.num_edges_padded, 8), jnp.float32) * g.edge_mask[:, None]
+    seg.set_segment_impl("stream")
+    try:
+        out = seg.segment_sum_receivers(data, g)
+    finally:
+        seg.set_segment_impl("auto")
+    out = np.asarray(out)
+    assert np.isfinite(out).all()
+    np.testing.assert_array_equal(out[128:256], 0.0)
+    want = np.asarray(jax.ops.segment_sum(data, g.receivers, num_segments=384))
+    np.testing.assert_allclose(out, want, atol=1e-2)
+
+
 def test_stream_length_bound_is_sufficient():
     """The static bucketing bound covers any degree distribution."""
     rng = np.random.default_rng(11)
