@@ -59,6 +59,13 @@ def build_parser() -> argparse.ArgumentParser:
                    help="multi-chip SPMD: 'data,model' mesh sizes (e.g. 4,2) "
                         "— node/edge arrays shard on data, head-stacked "
                         "params on model; requires D*M visible devices")
+    p.add_argument("--partition", type=str, default="gspmd",
+                   choices=["gspmd", "ring"],
+                   help="with --mesh: 'gspmd' = XLA-inserted collectives "
+                        "(segment ops fall back to scatter), 'ring' = "
+                        "ppermute halo exchange running the Pallas stream "
+                        "kernel per shard (the multi-chip fast path; sparse "
+                        "models only)")
     p.add_argument("--epoch-chunk", type=int, default=1,
                    help=">1: run K epochs per device dispatch (lax.scan) with "
                         "on-device best-params tracking — much faster wall "
@@ -134,14 +141,16 @@ def main(argv=None) -> int:
 
         n_data, n_model = (int(v) for v in args.mesh.split(","))
         mesh = make_mesh(n_data, n_model)
-        print(f"mesh: data={n_data} model={n_model}")
+        print(f"mesh: data={n_data} model={n_model} "
+              f"partition={args.partition}")
     if args.epoch_chunk > 1:
         result = fit_transductive_fast(cfg, data, epoch_chunk=args.epoch_chunk,
                                        mesh=mesh, resume=args.resume_training,
-                                       **common)
+                                       partition=args.partition, **common)
     else:
         result = fit_transductive(cfg, data, resume=args.resume_training,
-                                  mesh=mesh, **common)
+                                  mesh=mesh, partition=args.partition,
+                                  **common)
     print("Optimization Finished!")
     print("Total time elapsed: {:.4f}s".format(time.time() - t0))
     print("Loading {}th epoch".format(result.best_epoch))

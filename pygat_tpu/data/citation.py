@@ -284,6 +284,39 @@ def load_citation(dataset: str, data_root: str | None = None,
     )
 
 
+def repad_citation(ds: CitationDataset, n_pad: int) -> CitationDataset:
+    """Rebuild the dataset with a larger node padding (features/labels rows
+    grow with zeros / -1). Used by the ring edge-partition path, which
+    needs ``N_pad % (128 * n_shards) == 0`` so each shard's node range is
+    128-row-tile aligned (the stream-kernel contract, ops/stream.py)."""
+    from pygat_tpu.graph import build_graph
+
+    g = ds.graph
+    old_pad = g.num_nodes_padded
+    if n_pad == old_pad:
+        return ds
+    if n_pad < int(g.n_node) + 1:
+        raise ValueError(f"n_pad={n_pad} too small for {int(g.n_node)} nodes")
+    mask = np.asarray(g.edge_mask)
+    g2 = build_graph(
+        np.asarray(g.senders)[mask],
+        np.asarray(g.receivers)[mask],
+        np.asarray(g.edge_weight)[mask],
+        int(g.n_node),
+        n_pad=n_pad,
+    )
+    feats = np.asarray(ds.features)
+    labels = np.asarray(ds.labels)
+    if n_pad > old_pad:
+        feats = np.pad(feats, ((0, n_pad - old_pad), (0, 0)))
+        labels = np.pad(labels, (0, n_pad - old_pad), constant_values=-1)
+    else:
+        feats = feats[:n_pad]
+        labels = labels[:n_pad]
+    return ds._replace(graph=g2, features=jnp.asarray(feats),
+                       labels=jnp.asarray(labels))
+
+
 def dataset_stats(ds: CitationDataset) -> dict:
     """Startup stats mirroring the reference prints (train.py:104-110)."""
     n = int(ds.graph.n_node)

@@ -56,31 +56,65 @@ def segment_max(data, segment_ids, num_segments: int, *, sorted_ids: bool = True
 # 'scan' remains available — it wins for isolated large [E, F] reductions
 # (up to 40x in microbenchmarks) and on future shapes where scatter
 # serializes.
+import contextvars as _contextvars
 import os as _os
+from contextlib import contextmanager as _contextmanager
+
+_IMPLS = ("auto", "stream", "scan", "scatter")
 
 _segment_impl = _os.environ.get("PYGAT_SEGMENT_IMPL", "auto")
 
+# Trace-scoped override: the right way to pin a lowering for ONE program
+# (e.g. 'scatter' under GSPMD, where a Pallas custom call cannot be
+# partition-propagated) without mutating process state — a later
+# single-device trace in the same process keeps the stream kernel.
+_impl_override: _contextvars.ContextVar[str | None] = _contextvars.ContextVar(
+    "pygat_segment_impl_override", default=None
+)
+
 
 def set_segment_impl(name: str) -> None:
-    """'auto' (stream kernel on TPU, scatter elsewhere), 'stream', 'scan',
-    or 'scatter'."""
+    """Process-wide default: 'auto' (stream kernel on TPU, scatter
+    elsewhere), 'stream', 'scan', or 'scatter'. For a single trace prefer
+    the scoped :func:`use_impl`."""
     global _segment_impl
-    if name not in ("auto", "stream", "scan", "scatter"):
+    if name not in _IMPLS:
         raise ValueError(f"unknown segment impl {name!r}")
     _segment_impl = name
 
 
+@_contextmanager
+def use_impl(name: str | None):
+    """Scoped segment-impl override (``None`` = no-op). Applies to every
+    segment dispatch traced inside the ``with`` body; restores on exit."""
+    if name is None:
+        yield
+        return
+    if name not in _IMPLS:
+        raise ValueError(f"unknown segment impl {name!r}")
+    token = _impl_override.set(name)
+    try:
+        yield
+    finally:
+        _impl_override.reset(token)
+
+
+def _current_impl() -> str:
+    return _impl_override.get() or _segment_impl
+
+
 def _scan_enabled() -> bool:
-    return _segment_impl == "scan"
+    return _current_impl() == "scan"
 
 
 def _stream_enabled() -> bool:
     """Pallas stream-scatter kernel (ops.stream): measured 7.5x the XLA
     scatter emitter at Pubmed scale on v5e. 'auto' uses it on TPU only;
     elsewhere it would run interpreted (tests opt in explicitly)."""
-    if _segment_impl == "stream":
+    impl = _current_impl()
+    if impl == "stream":
         return True
-    return _segment_impl == "auto" and jax.default_backend() == "tpu"
+    return impl == "auto" and jax.default_backend() == "tpu"
 
 
 def _stream_interpret() -> bool:

@@ -3,24 +3,36 @@
 The hand-scheduled counterpart of the GSPMD path (SURVEY §2.11 item 2 and
 §5 'long-context'): nodes are block-partitioned over the 'data' mesh axis;
 each device owns a node shard (all incoming edges of its rows). Remote
-sender features arrive by rotating (f_src, Wh) shards around the ICI ring
-with ``ppermute`` — one hop per step, overlapped by XLA with the local
-compute — while a running (max, denom, out) accumulator performs the
-ONLINE segment softmax across steps:
+sender features arrive by rotating the projected-feature shard around the
+ICI ring with ``ppermute`` — one hop per step, overlapped by XLA with the
+local compute — while per-shard segment reductions accumulate the softmax
+numerator/denominator across hops:
 
-    for k in 0..D-1:                      # D = data-axis size
+    bound[i] = leaky(f_dst[i] + max_j f_src[j])      # one pmax, pre-ring
+    for k in 0..D-1:                                  # D = data-axis size
         process edges whose senders live on shard (me - k) % D
-        m_new = max(m, chunk_max); rescale denom/out by exp(m - m_new)
-        rotate (f_src, Wh) one hop
+        acc += segment_sum(exp(logit - bound[recv]) * msg)
+        rotate the feature shard one hop
 
-This is exactly the ring/flash-attention recipe applied to segment softmax
-(the reference's scatter_max stabilization, layers.py:145-146, generalized
-across chips). Differentiable end-to-end: ppermute/psum have transposes, so
-``jax.grad`` through the shard_mapped forward yields the distributed
-backward automatically.
+The per-receiver shift uses the same monotone upper bound as the
+single-chip layers (models/layers.py) instead of a per-hop running max:
+softmax is shift-invariant, the bound needs ONE cross-shard ``pmax``
+before the ring, and every hop becomes a pure segment-sum — no
+re-scaling, no scatter-max. That makes each device's inner reduction the
+SAME stream-scatter Pallas kernel as the single-chip fast path
+(pygat_tpu.ops.stream), run on the device-local edge block: EdgePartition
+carries per-(dst-shard, src-shard) stream layouts (chunk-aligned slots,
+chunk->tile maps, and a sender-sorted view for the backward), so forward
+AND backward reductions are one-hot MXU matmuls instead of XLA's serial
+scatter. This is the multi-chip generalization of the reference's
+scatter_max/SpMM pipeline (reference layers.py:145-160).
 
-Host-side prep (``partition_edges``) buckets each destination shard's edges
-by source shard into a static [D, D, E_blk] layout.
+Differentiable end-to-end: ppermute/psum have transposes and the block
+gathers/reduces carry custom VJPs, so ``jax.grad`` through the
+shard_mapped forward yields the distributed backward automatically.
+
+Host-side prep (``partition_edges``) buckets each destination shard's
+edges by source shard into static [D, D, E_blk] layouts.
 """
 
 from __future__ import annotations
@@ -32,7 +44,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 from jax import lax
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh, PartitionSpec as P
 from jax import shard_map
 
 from pygat_tpu.graph import Graph
@@ -45,18 +57,37 @@ class EdgePartition(NamedTuple):
 
     For destination shard d and source shard s, edges land in block
     [d, s, :]: ``recv_local`` is the receiver relative to shard d's node
-    range, ``send_local`` the sender relative to shard s's range.
+    range, ``send_local`` the sender relative to shard s's range; blocks
+    are receiver-sorted (padding slots keep the order, so per-block
+    segment ids are sorted).
+
+    When ``n_local`` is a multiple of 128 the blocks are STREAM-ALIGNED
+    (pygat_tpu.ops.stream contract): every 256-edge chunk of a block
+    scatters into one 128-row tile of the local output; ``local``/``chunk``
+    drive the receiver-side kernel and ``s_slot``/``s_local``/``s_chunk``
+    a sender-sorted view for the backward gather-transpose. These are
+    None otherwise (the ring then reduces with sorted XLA segment ops).
     """
 
     recv_local: jax.Array  # [D, D, E_blk] int32
     send_local: jax.Array  # [D, D, E_blk] int32
     edge_mask: jax.Array  # [D, D, E_blk] bool
+    node_mask: jax.Array  # [D, n_local] bool (real-node rows of each shard)
     n_shards: int
     n_local: int  # nodes per shard (N_pad / D)
+    local: jax.Array | None = None  # [D, D, E_blk] int32 (128 = dead slot)
+    chunk: jax.Array | None = None  # [D, D, E_blk / 256] int32 tile per chunk
+    s_slot: jax.Array | None = None  # [D, D, E_s2] int32 block pos per slot
+    s_local: jax.Array | None = None  # [D, D, E_s2] int32
+    s_chunk: jax.Array | None = None  # [D, D, E_s2 / 256] int32
 
     @property
     def block_edges(self) -> int:
         return self.recv_local.shape[-1]
+
+    @property
+    def has_stream(self) -> bool:
+        return self.local is not None
 
 
 def partition_edges(graph: Graph, n_shards: int) -> EdgePartition:
@@ -73,144 +104,235 @@ def partition_edges(graph: Graph, n_shards: int) -> EdgePartition:
 
     counts = np.zeros((n_shards, n_shards), np.int64)
     np.add.at(counts, (dsh, ssh), 1)
-    e_blk = round_up(max(int(counts.max()), 1), 8)
-
-    recv_l = np.zeros((n_shards, n_shards, e_blk), np.int32)
-    send_l = np.zeros((n_shards, n_shards, e_blk), np.int32)
-    msk = np.zeros((n_shards, n_shards, e_blk), bool)
+    e_raw = round_up(max(int(counts.max()), 1), 8)
 
     order = np.lexsort((recv, ssh, dsh))
     send, recv, dsh, ssh = send[order], recv[order], dsh[order], ssh[order]
     key = dsh * n_shards + ssh
     starts = np.searchsorted(key, np.arange(n_shards * n_shards))
     pos = np.arange(len(send)) - starts[key]
-    recv_l[dsh, ssh, pos] = (recv - dsh * n_local).astype(np.int32)
-    send_l[dsh, ssh, pos] = (send - ssh * n_local).astype(np.int32)
+    rl_all = (recv - dsh * n_local).astype(np.int32)
+    sl_all = (send - ssh * n_local).astype(np.int32)
+
+    node_mask = np.asarray(graph.node_mask).reshape(n_shards, n_local)
+
+    if n_local % 128 == 0:
+        # stream-aligned blocks: chunk-of-256 edges -> one 128-row tile
+        from pygat_tpu.ops.stream import EC, build_stream_layout, stream_length
+
+        e_blk = stream_length(e_raw, n_local)
+        e_s2 = stream_length(e_blk, n_local)
+        d = n_shards
+        recv_l = np.zeros((d, d, e_blk), np.int32)
+        send_l = np.zeros((d, d, e_blk), np.int32)
+        msk = np.zeros((d, d, e_blk), bool)
+        loc = np.full((d, d, e_blk), 128, np.int32)
+        chk = np.zeros((d, d, e_blk // EC), np.int32)
+        s_slot = np.zeros((d, d, e_s2), np.int32)
+        s_loc = np.full((d, d, e_s2), 128, np.int32)
+        s_chk = np.zeros((d, d, e_s2 // EC), np.int32)
+
+        for di in range(d):
+            for si in range(d):
+                b = starts[di * d + si]
+                c = int(counts[di, si])
+                rl_b = rl_all[b : b + c]
+                sl_b = sl_all[b : b + c]
+                ptr = np.zeros(n_local + 1, np.int64)
+                np.cumsum(np.bincount(rl_b, minlength=n_local), out=ptr[1:])
+                lay = build_stream_layout(ptr, stream_pad=e_blk)
+                live = lay.slot >= 0
+                src = np.maximum(lay.slot, 0)
+                # dead slots keep receivers sorted (their tile's last row)
+                tile_of = lay.chunk_tile[np.arange(e_blk) // EC].astype(np.int64)
+                if c:
+                    recv_l[di, si] = np.where(live, rl_b[src],
+                                              tile_of * 128 + 127)
+                    send_l[di, si] = np.where(live, sl_b[src], 0)
+                else:  # empty block: all-dead chunks (mask stays False)
+                    recv_l[di, si] = tile_of * 128 + 127
+                msk[di, si] = live
+                loc[di, si] = lay.local
+                chk[di, si] = lay.chunk_tile
+                # sender-sorted view over the LIVE slots of this block (for
+                # the backward gather-transpose = per-sender segment sum)
+                live_idx = np.flatnonzero(live)
+                sb = send_l[di, si][live_idx]
+                rb = recv_l[di, si][live_idx]
+                o2 = np.lexsort((rb, sb))
+                ptr2 = np.zeros(n_local + 1, np.int64)
+                np.cumsum(np.bincount(sb, minlength=n_local), out=ptr2[1:])
+                lay2 = build_stream_layout(
+                    ptr2, order=live_idx[o2], stream_pad=e_s2
+                )
+                s_slot[di, si] = np.maximum(lay2.slot, 0).astype(np.int32)
+                s_loc[di, si] = lay2.local
+                s_chk[di, si] = lay2.chunk_tile
+
+        return EdgePartition(
+            recv_local=jnp.asarray(recv_l),
+            send_local=jnp.asarray(send_l),
+            edge_mask=jnp.asarray(msk),
+            node_mask=jnp.asarray(node_mask),
+            n_shards=n_shards,
+            n_local=n_local,
+            local=jnp.asarray(loc),
+            chunk=jnp.asarray(chk),
+            s_slot=jnp.asarray(s_slot),
+            s_local=jnp.asarray(s_loc),
+            s_chunk=jnp.asarray(s_chk),
+        )
+
+    # legacy dense-packed blocks (no stream kernels): padding slots fill
+    # the tail with receiver n_local-1 so per-block ids stay sorted
+    recv_l = np.full((n_shards, n_shards, e_raw), n_local - 1, np.int32)
+    send_l = np.zeros((n_shards, n_shards, e_raw), np.int32)
+    msk = np.zeros((n_shards, n_shards, e_raw), bool)
+    recv_l[dsh, ssh, pos] = rl_all
+    send_l[dsh, ssh, pos] = sl_all
     msk[dsh, ssh, pos] = True
 
     return EdgePartition(
         recv_local=jnp.asarray(recv_l),
         send_local=jnp.asarray(send_l),
         edge_mask=jnp.asarray(msk),
+        node_mask=jnp.asarray(node_mask),
         n_shards=n_shards,
         n_local=n_local,
     )
 
 
+# ---------------------------------------------------------------------------
+# Per-block segment primitives (device-local, inside shard_map). All carry
+# custom VJPs so neither direction emits an XLA scatter when the partition
+# is stream-aligned. ``data``/cotangents at masked (dead) slots must be
+# zero — the ring bodies guarantee that via the edge-mask on the softmax
+# numerator.
+# ---------------------------------------------------------------------------
+
+
+def _stream_args():
+    from pygat_tpu.ops import segment as _seg
+
+    return _seg._STREAM_PRECISION, _seg._stream_interpret()
+
+
+def _part_use_stream(part: EdgePartition) -> bool:
+    from pygat_tpu.ops import segment as _seg
+
+    return part.has_stream and _seg._stream_enabled()
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(4, 5))
+def block_recv_reduce(data, rl, loc, ct, n_local: int, use_stream: bool):
+    """Per-receiver segment sum of block ``data`` [E, L] -> [n_local, L]."""
+    if use_stream:
+        from pygat_tpu.ops.stream import stream_scatter
+
+        precision, interpret = _stream_args()
+        return stream_scatter(data, loc, ct, n_local, precision=precision,
+                              interpret=interpret)
+    return jax.ops.segment_sum(data, rl, num_segments=n_local,
+                               indices_are_sorted=True)
+
+
+def _brr_fwd(data, rl, loc, ct, n_local, use_stream):
+    return block_recv_reduce(data, rl, loc, ct, n_local, use_stream), rl
+
+
+def _brr_bwd(n_local, use_stream, rl, g):
+    return g[rl], None, None, None
+
+
+block_recv_reduce.defvjp(_brr_fwd, _brr_bwd)
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(4, 5))
+def block_take_receivers(x, rl, loc, ct, n_local: int, use_stream: bool):
+    """``x[rl]`` whose VJP is the per-block receiver segment sum."""
+    return x[rl]
+
+
+def _btr_fwd(x, rl, loc, ct, n_local, use_stream):
+    return x[rl], (rl, loc, ct)
+
+
+def _btr_bwd(n_local, use_stream, res, g):
+    rl, loc, ct = res
+    return (block_recv_reduce(g, rl, loc, ct, n_local, use_stream),
+            None, None, None)
+
+
+block_take_receivers.defvjp(_btr_fwd, _btr_bwd)
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(5, 6))
+def block_take_senders(x, sl, s_slot, s_loc, s_chunk, n_local: int,
+                       use_stream: bool):
+    """``x[sl]`` whose VJP is a per-SENDER segment sum (the stream kernel
+    over the block's sender-sorted view when available)."""
+    return x[sl]
+
+
+def _bts_fwd(x, sl, s_slot, s_loc, s_chunk, n_local, use_stream):
+    return x[sl], (sl, s_slot, s_loc, s_chunk)
+
+
+def _bts_bwd(n_local, use_stream, res, g):
+    sl, s_slot, s_loc, s_chunk = res
+    if use_stream:
+        from pygat_tpu.ops.stream import stream_scatter
+
+        precision, interpret = _stream_args()
+        dx = stream_scatter(g[s_slot], s_loc, s_chunk, n_local,
+                            precision=precision, interpret=interpret)
+    else:
+        dx = jax.ops.segment_sum(g, sl, num_segments=n_local)
+    return dx, None, None, None, None
+
+
+block_take_senders.defvjp(_bts_fwd, _bts_bwd)
+
+
+def _dummy_stream_fields(part: EdgePartition):
+    """Placeholder layout arrays for the non-stream path (never read)."""
+    d = part.n_shards
+    z2 = jnp.zeros((d, d, 8), jnp.int32)
+    z1 = jnp.zeros((d, d, 8), jnp.int32)
+    return (part.local if part.local is not None else z2,
+            part.chunk if part.chunk is not None else z1,
+            part.s_slot if part.s_slot is not None else z2,
+            part.s_local if part.s_local is not None else z2,
+            part.s_chunk if part.s_chunk is not None else z1)
+
+
+def _leaky(x, alpha):
+    return jnp.where(x >= 0, x, alpha * x)
+
+
 def ring_gat_attention(
-    f_dst: jax.Array,  # [H, N_pad]
-    f_src: jax.Array,  # [H, N_pad]
-    wh: jax.Array,  # [H, N_pad, F]
+    f_dst: jax.Array,  # [N_pad, H] receiver logit component
+    whf: jax.Array,  # [N_pad, H*F] projected features, head-major blocks
+    a_src: jax.Array,  # [H, F] sender halves of the attention vectors
     part: EdgePartition,
     mesh: Mesh,
     *,
     alpha: float,
-    att_keep: jax.Array | None = None,  # [H, D, D, E_blk] keep/(1-p), or None
+    att_keep: jax.Array | None = None,  # [D, D, E_blk, H] keep/(1-p) or None
 ) -> jax.Array:
-    """[H, N_pad, F] — identical math to the single-chip sparse v1 attention
+    """[N_pad, H*F] — identical math to the single-chip sparse v1 attention
     but executed SPMD over the 'data' axis with a ppermute ring.
 
-    ``att_keep`` applies reference-style attention dropout to the
-    aggregation numerator only (pre-dropout denominator,
-    reference layers.py:150-160), indexed in partition layout."""
-    d = part.n_shards
-    if mesh.shape[DATA_AXIS] != d:
-        raise ValueError(
-            f"partition built for {d} shards, mesh data axis is "
-            f"{mesh.shape[DATA_AXIS]}"
-        )
-    neg = jnp.asarray(-1e30, jnp.float32)
-    if att_keep is None:
-        att_keep = jnp.ones(
-            (f_dst.shape[0],) + tuple(part.edge_mask.shape), jnp.float32
-        )
-
-    def body(fd, fs, w, rl, sl, em, keep):
-        # shapes inside shard_map (per device):
-        # fd/fs [H, n_local]; w [H, n_local, F]; rl/sl/em [1, D, E_blk]
-        me = lax.axis_index(DATA_AXIS)
-        h, n_local = fd.shape
-        f = w.shape[-1]
-        rl, sl, em = rl[0], sl[0], em[0]  # [D, E_blk]
-        keep = keep[:, 0]  # [H, D, E_blk]
-
-        m = jnp.full((h, n_local), neg)
-        den = jnp.zeros((h, n_local))
-        out = jnp.zeros((h, n_local, f))
-        fs_buf, w_buf = fs, w
-
-        for k in range(d):  # static ring schedule
-            src_shard = (me - k) % d
-            rl_k = jnp.take(rl, src_shard, axis=0)  # [E_blk]
-            sl_k = jnp.take(sl, src_shard, axis=0)
-            em_k = jnp.take(em, src_shard, axis=0)
-            keep_k = jnp.take(keep, src_shard, axis=1)  # [H, E_blk]
-
-            def upd(m_h, den_h, out_h, fd_h, fs_h, w_h, keep_h):
-                pre = fd_h[rl_k] + fs_h[sl_k]
-                logit = jnp.where(pre >= 0, pre, alpha * pre)
-                logit = jnp.where(em_k, logit, neg)
-                cm = jax.ops.segment_max(logit, rl_k, num_segments=n_local)
-                cm = jnp.where(cm > neg / 2, cm, neg)
-                m_new = jnp.maximum(m_h, cm)
-                scale = jnp.exp(jnp.where(m_h > neg / 2, m_h - m_new, 0.0))
-                num = jnp.exp(logit - jnp.where(m_new > neg / 2, m_new, 0.0)[rl_k])
-                num = jnp.where(em_k, num, 0.0)
-                den_new = den_h * scale + jax.ops.segment_sum(
-                    num, rl_k, num_segments=n_local
-                )
-                msgs = (num * keep_h)[:, None] * w_h[sl_k]
-                out_new = out_h * scale[:, None] + jax.ops.segment_sum(
-                    msgs, rl_k, num_segments=n_local
-                )
-                return m_new, den_new, out_new
-
-            m, den, out = jax.vmap(upd)(m, den, out, fd, fs_buf, w_buf, keep_k)
-
-            if k + 1 < d:
-                perm = [(i, (i + 1) % d) for i in range(d)]
-                fs_buf = lax.ppermute(fs_buf, DATA_AXIS, perm)
-                w_buf = lax.ppermute(w_buf, DATA_AXIS, perm)
-
-        return out / jnp.where(den > 0, den, 1.0)[:, :, None]
-
-    return shard_map(
-        body,
-        mesh=mesh,
-        in_specs=(
-            P(None, DATA_AXIS),  # f_dst by node shard
-            P(None, DATA_AXIS),  # f_src by node shard
-            P(None, DATA_AXIS, None),  # wh by node shard
-            P(DATA_AXIS, None, None),  # recv_local by dest shard
-            P(DATA_AXIS, None, None),
-            P(DATA_AXIS, None, None),
-            P(None, DATA_AXIS, None, None),  # att_keep by dest shard
-        ),
-        out_specs=P(None, DATA_AXIS, None),
-        check_vma=False,
-    )(f_dst, f_src, wh, part.recv_local, part.send_local, part.edge_mask,
-      att_keep)
-
-
-def ring_gat_attention_v2(
-    whi: jax.Array,  # [H, N_pad, F] left projection (receiver logits + messages)
-    whj: jax.Array,  # [H, N_pad, F] right projection (sender logits)
-    a: jax.Array,  # [H, F] attention vectors
-    part: EdgePartition,
-    mesh: Mesh,
-    *,
-    alpha: float,
-    att_keep: jax.Array | None = None,  # [H, D, D, E_blk] keep/(1-p), or None
-) -> jax.Array:
-    """GATv2 ring attention: per-edge ``a . leaky(whi[recv] + whj[send])``
-    logits (reference layers.py:280-283) with aggregation of ``whi`` rows
-    gathered at SENDERS (layers.py:296) — both the sender-logit operand
-    (whj) and the message operand (whi) rotate around the ring. Online
-    (max, denom, out) accumulators combine hops exactly like the v1 ring.
+    The sender logit component is derived per hop from the gathered
+    feature block (``l_src = <w_g, a_src>``, the single-chip trick) so only
+    ONE buffer rotates and logits + messages share a single sender
+    reduction in the backward. Softmax stabilization uses the monotone
+    receiver bound ``leaky(f_dst + max_j f_src)`` (cross-shard ``pmax``,
+    exact shift — see models/layers.py), so hops accumulate additively.
 
     ``att_keep`` applies reference-style attention dropout to the
-    aggregation numerator only (the denominator stays pre-dropout,
-    layers.py:150-160 order), indexed in partition layout.
+    aggregation numerator only (pre-dropout denominator, reference
+    layers.py:150-160), indexed in partition layout.
     """
     d = part.n_shards
     if mesh.shape[DATA_AXIS] != d:
@@ -218,75 +340,224 @@ def ring_gat_attention_v2(
             f"partition built for {d} shards, mesh data axis is "
             f"{mesh.shape[DATA_AXIS]}"
         )
-    neg = jnp.asarray(-1e30, jnp.float32)
+    h = f_dst.shape[1]
+    hf = whf.shape[1]
+    f = hf // h
+    use_stream = _part_use_stream(part)
     if att_keep is None:
-        att_keep = jnp.ones(
-            (whi.shape[0],) + tuple(part.edge_mask.shape), jnp.float32
-        )
+        att_keep = jnp.ones(tuple(part.edge_mask.shape) + (1,), jnp.float32)
+    loc_a, chk_a, ss_a, sl2_a, sc_a = _dummy_stream_fields(part)
 
-    def body(wi, wj, av, rl, sl, em, keep):
-        # per device: wi/wj [H, n_local, F]; av [H, F]; rl/sl/em [1, D, E_blk]
+    def body(fd, w, asrc, nm, rl, sl, em, loc, ct, ss, sloc, sck, keep):
+        # per device: fd [n_local, H]; w [n_local, HF]; asrc [H, F];
+        # nm [1, n_local]; rl/sl/em/loc [1, D, E]; ct [1, D, C];
+        # ss/sloc [1, D, E2]; sck [1, D, C2]; keep [1, D, E, H or 1]
         me = lax.axis_index(DATA_AXIS)
-        h, n_local, f = wi.shape
-        rl, sl, em = rl[0], sl[0], em[0]
-        keep = keep[:, 0]  # [H, D, E_blk]
+        rl, sl, em, loc, ct = rl[0], sl[0], em[0], loc[0], ct[0]
+        ss, sloc, sck, keep = ss[0], sloc[0], sck[0], keep[0]
+        nm = nm[0]
+        n_local = fd.shape[0]
 
-        m = jnp.full((h, n_local), neg)
-        den = jnp.zeros((h, n_local))
-        out = jnp.zeros((h, n_local, f))
-        wi_buf, wj_buf = wi, wj
+        # receiver bound from the GLOBAL sender-component max (real rows):
+        # exp(logit - bound) <= 1 (leaky_relu is monotone), exact softmax
+        # shift -> no per-hop max, no rescaling. Stop-gradient BEFORE the
+        # pmax (no differentiation rule, and the shift's true gradient is
+        # exactly zero by softmax shift-invariance).
+        f_src = (lax.stop_gradient(w).reshape(n_local, h, f)
+                 * lax.stop_gradient(asrc)[None]).sum(-1)  # [n_local, H]
+        m_loc = jnp.max(jnp.where(nm[:, None], f_src, -jnp.inf), axis=0)
+        m_src = lax.pmax(m_loc, DATA_AXIS)
+        m_src = jnp.where(jnp.isfinite(m_src), m_src, 0.0)
+        fdb = jnp.concatenate(
+            [fd, lax.stop_gradient(_leaky(fd + m_src[None, :], alpha))], axis=1
+        )  # [n_local, 2H]: logit component ++ bound
 
+        acc = jnp.zeros((n_local, hf + h), jnp.float32)
+        w_buf = w
         for k in range(d):  # static ring schedule
             src_shard = (me - k) % d
             rl_k = jnp.take(rl, src_shard, axis=0)
             sl_k = jnp.take(sl, src_shard, axis=0)
             em_k = jnp.take(em, src_shard, axis=0)
-            keep_k = jnp.take(keep, src_shard, axis=1)  # [H, E_blk]
+            loc_k = jnp.take(loc, src_shard, axis=0)
+            ct_k = jnp.take(ct, src_shard, axis=0)
+            ss_k = jnp.take(ss, src_shard, axis=0)
+            sloc_k = jnp.take(sloc, src_shard, axis=0)
+            sck_k = jnp.take(sck, src_shard, axis=0)
+            keep_k = jnp.take(keep, src_shard, axis=0)  # [E, H or 1]
 
-            def upd(m_h, den_h, out_h, wi_h, wib_h, wjb_h, a_h, keep_h):
-                pre = wi_h[rl_k] + wjb_h[sl_k]  # [E_blk, F]
-                logit = jnp.where(pre >= 0, pre, alpha * pre) @ a_h
-                logit = jnp.where(em_k, logit, neg)
-                cm = jax.ops.segment_max(logit, rl_k, num_segments=n_local)
-                cm = jnp.where(cm > neg / 2, cm, neg)
-                m_new = jnp.maximum(m_h, cm)
-                scale = jnp.exp(jnp.where(m_h > neg / 2, m_h - m_new, 0.0))
-                num = jnp.exp(
-                    logit - jnp.where(m_new > neg / 2, m_new, 0.0)[rl_k]
-                )
-                num = jnp.where(em_k, num, 0.0)
-                den_new = den_h * scale + jax.ops.segment_sum(
-                    num, rl_k, num_segments=n_local
-                )
-                msgs = (num * keep_h)[:, None] * wib_h[sl_k]
-                out_new = out_h * scale[:, None] + jax.ops.segment_sum(
-                    msgs, rl_k, num_segments=n_local
-                )
-                return m_new, den_new, out_new
-
-            m, den, out = jax.vmap(upd)(
-                m, den, out, wi, wi_buf, wj_buf, av, keep_k
-            )
-
+            w_g = block_take_senders(w_buf, sl_k, ss_k, sloc_k, sck_k,
+                                     n_local, use_stream)  # [E, HF]
+            l_src = (w_g.reshape(-1, h, f) * asrc[None]).sum(-1)  # [E, H]
+            fb_e = block_take_receivers(fdb, rl_k, loc_k, ct_k,
+                                        n_local, use_stream)  # [E, 2H]
+            logits = _leaky(fb_e[:, :h] + l_src, alpha)
+            num = jnp.where(em_k[:, None],
+                            jnp.exp(logits - fb_e[:, h:]), 0.0)  # [E, H]
+            qnum = num * keep_k
+            msgs = jnp.concatenate(
+                [(w_g.reshape(-1, h, f) * qnum[:, :, None]).reshape(-1, hf),
+                 num],
+                axis=1,
+            )  # [E, HF + H]
+            acc = acc + block_recv_reduce(msgs, rl_k, loc_k, ct_k,
+                                          n_local, use_stream)
             if k + 1 < d:
                 perm = [(i, (i + 1) % d) for i in range(d)]
-                wi_buf = lax.ppermute(wi_buf, DATA_AXIS, perm)
-                wj_buf = lax.ppermute(wj_buf, DATA_AXIS, perm)
+                w_buf = lax.ppermute(w_buf, DATA_AXIS, perm)
 
-        return out / jnp.where(den > 0, den, 1.0)[:, :, None]
+        den = acc[:, hf:]
+        den = jnp.where(den > 0, den, 1.0)
+        out = acc[:, :hf].reshape(n_local, h, f) / den[:, :, None]
+        return out.reshape(n_local, hf)
 
     return shard_map(
         body,
         mesh=mesh,
         in_specs=(
-            P(None, DATA_AXIS, None),
-            P(None, DATA_AXIS, None),
-            P(),  # attention vectors replicated
+            P(DATA_AXIS, None),  # f_dst by node shard
+            P(DATA_AXIS, None),  # whf by node shard
+            P(),  # a_src replicated
+            P(DATA_AXIS, None),  # node_mask by shard
+            P(DATA_AXIS, None, None),  # recv_local by dest shard
             P(DATA_AXIS, None, None),
             P(DATA_AXIS, None, None),
-            P(DATA_AXIS, None, None),
-            P(None, DATA_AXIS, None, None),  # att_keep by dest shard
+            P(DATA_AXIS, None, None),  # local
+            P(DATA_AXIS, None, None),  # chunk
+            P(DATA_AXIS, None, None),  # s_slot
+            P(DATA_AXIS, None, None),  # s_local
+            P(DATA_AXIS, None, None),  # s_chunk
+            P(DATA_AXIS, None, None, None),  # att_keep by dest shard
         ),
-        out_specs=P(None, DATA_AXIS, None),
-        check_vma=False,
-    )(whi, whj, a, part.recv_local, part.send_local, part.edge_mask, att_keep)
+        out_specs=P(DATA_AXIS, None),
+        check_vma=False,  # pallas_call has no vma rule yet; values are
+        # replicated over 'model' by construction (all inputs unvarying
+        # there and the ring only communicates over 'data')
+    )(f_dst, whf, a_src, part.node_mask, part.recv_local, part.send_local,
+      part.edge_mask, loc_a, chk_a, ss_a, sl2_a, sc_a, att_keep)
+
+
+def ring_gat_attention_v2(
+    whi_f: jax.Array,  # [N_pad, H*F] left projection (receiver logits + messages)
+    whj_f: jax.Array,  # [N_pad, H*F] right projection (sender logits)
+    a: jax.Array,  # [H, F] attention vectors
+    part: EdgePartition,
+    mesh: Mesh,
+    *,
+    alpha: float,
+    att_keep: jax.Array | None = None,  # [D, D, E_blk, H] keep/(1-p) or None
+) -> jax.Array:
+    """GATv2 ring attention: per-edge ``a . leaky(whi[recv] + whj[send])``
+    logits (reference layers.py:280-283) with aggregation of ``whi`` rows
+    gathered at SENDERS (layers.py:296) — both the sender-logit operand
+    (whj) and the message operand (whi) rotate around the ring.
+
+    Stabilized by the v2 sign-split monotone bound (see
+    models/layers.gat_v2_sparse_heads): ``ub`` needs one cross-shard
+    pmax/pmin of whj per (head, feature), then hops accumulate additively
+    through per-shard stream reductions — no scatter, no rescaling.
+    """
+    d = part.n_shards
+    if mesh.shape[DATA_AXIS] != d:
+        raise ValueError(
+            f"partition built for {d} shards, mesh data axis is "
+            f"{mesh.shape[DATA_AXIS]}"
+        )
+    h, f = a.shape
+    hf = h * f
+    use_stream = _part_use_stream(part)
+    if att_keep is None:
+        att_keep = jnp.ones(tuple(part.edge_mask.shape) + (1,), jnp.float32)
+    loc_a, chk_a, ss_a, sl2_a, sc_a = _dummy_stream_fields(part)
+
+    def body(wi, wj, av, nm, rl, sl, em, loc, ct, ss, sloc, sck, keep):
+        # per device: wi/wj [n_local, HF]; av [H, F]; nm [1, n_local]
+        me = lax.axis_index(DATA_AXIS)
+        rl, sl, em, loc, ct = rl[0], sl[0], em[0], loc[0], ct[0]
+        ss, sloc, sck, keep = ss[0], sloc[0], sck[0], keep[0]
+        nm = nm[0]
+        n_local = wi.shape[0]
+
+        # v2 bound (models/layers.py gat_v2_sparse_heads): per (h, f) the
+        # sender term is bounded by the global max (a >= 0) / min (a < 0)
+        # of whj over real nodes; leaky_relu is monotone increasing
+        wj_m = lax.stop_gradient(wj)
+        big = jnp.asarray(jnp.inf, wj_m.dtype)
+        Mq = jnp.max(jnp.where(nm[:, None], wj_m, -big), axis=0)  # [HF]
+        mq = jnp.min(jnp.where(nm[:, None], wj_m, big), axis=0)
+        Mq = lax.pmax(Mq, DATA_AXIS)
+        mq = lax.pmin(mq, DATA_AXIS)
+        Mq = jnp.where(jnp.isfinite(Mq), Mq, 0.0).reshape(h, f)
+        mq = jnp.where(jnp.isfinite(mq), mq, 0.0).reshape(h, f)
+        wi3 = lax.stop_gradient(wi).reshape(n_local, h, f)
+        a_pos = jnp.maximum(av, 0.0)
+        a_neg = jnp.minimum(av, 0.0)
+        ub = (_leaky(wi3 + Mq[None], alpha) * a_pos[None]).sum(-1)
+        ub = ub + (_leaky(wi3 + mq[None], alpha) * a_neg[None]).sum(-1)
+        ub = lax.stop_gradient(ub)  # [n_local, H]
+
+        acc = jnp.zeros((n_local, hf + h), jnp.float32)
+        wi_buf, wj_buf = wi, wj
+        for k in range(d):  # static ring schedule
+            src_shard = (me - k) % d
+            rl_k = jnp.take(rl, src_shard, axis=0)
+            sl_k = jnp.take(sl, src_shard, axis=0)
+            em_k = jnp.take(em, src_shard, axis=0)
+            loc_k = jnp.take(loc, src_shard, axis=0)
+            ct_k = jnp.take(ct, src_shard, axis=0)
+            ss_k = jnp.take(ss, src_shard, axis=0)
+            sloc_k = jnp.take(sloc, src_shard, axis=0)
+            sck_k = jnp.take(sck, src_shard, axis=0)
+            keep_k = jnp.take(keep, src_shard, axis=0)
+
+            wj_g = block_take_senders(wj_buf, sl_k, ss_k, sloc_k, sck_k,
+                                      n_local, use_stream)  # [E, HF]
+            wiub_e = block_take_receivers(
+                jnp.concatenate([wi, ub], axis=1), rl_k, loc_k, ct_k,
+                n_local, use_stream)  # [E, HF + H]
+            pre = _leaky(wiub_e[:, :hf] + wj_g, alpha)  # [E, HF]
+            logits = (pre.reshape(-1, h, f) * av[None]).sum(-1)  # [E, H]
+            num = jnp.where(em_k[:, None],
+                            jnp.exp(logits - wiub_e[:, hf:]), 0.0)
+            qnum = num * keep_k
+            wi_g = block_take_senders(wi_buf, sl_k, ss_k, sloc_k, sck_k,
+                                      n_local, use_stream)  # [E, HF]
+            msgs = jnp.concatenate(
+                [(wi_g.reshape(-1, h, f) * qnum[:, :, None]).reshape(-1, hf),
+                 num],
+                axis=1,
+            )
+            acc = acc + block_recv_reduce(msgs, rl_k, loc_k, ct_k,
+                                          n_local, use_stream)
+            if k + 1 < d:
+                perm = [(i, (i + 1) % d) for i in range(d)]
+                wi_buf = lax.ppermute(wi_buf, DATA_AXIS, perm)
+                wj_buf = lax.ppermute(wj_buf, DATA_AXIS, perm)
+
+        den = acc[:, hf:]
+        den = jnp.where(den > 0, den, 1.0)
+        out = acc[:, :hf].reshape(n_local, h, f) / den[:, :, None]
+        return out.reshape(n_local, hf)
+
+    return shard_map(
+        body,
+        mesh=mesh,
+        in_specs=(
+            P(DATA_AXIS, None),  # whi by node shard
+            P(DATA_AXIS, None),  # whj by node shard
+            P(),  # attention vectors replicated
+            P(DATA_AXIS, None),  # node_mask
+            P(DATA_AXIS, None, None),
+            P(DATA_AXIS, None, None),
+            P(DATA_AXIS, None, None),
+            P(DATA_AXIS, None, None),
+            P(DATA_AXIS, None, None),
+            P(DATA_AXIS, None, None),
+            P(DATA_AXIS, None, None),
+            P(DATA_AXIS, None, None),
+            P(DATA_AXIS, None, None, None),  # att_keep by dest shard
+        ),
+        out_specs=P(DATA_AXIS, None),
+        check_vma=False,  # see ring_gat_attention
+    )(whi_f, whj_f, a, part.node_mask, part.recv_local, part.send_local,
+      part.edge_mask, loc_a, chk_a, ss_a, sl2_a, sc_a, att_keep)

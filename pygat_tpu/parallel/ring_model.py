@@ -8,6 +8,12 @@ attention-aggregation runs inside the hand-scheduled shard_map ring.
 Gradients flow through ``ppermute``/``psum`` transposes automatically, so
 ``jax.grad`` + Adam of the ring forward IS the distributed backward.
 
+Layouts mirror the single-chip fast path (models/layers.py): heads fold
+into the minor axis ([N, H*F] projections, [N, H] logit components), so the
+ring bodies never relayout [H, E] tensors, and when the partition is
+stream-aligned every per-hop reduction (forward AND backward) runs the
+Pallas stream-scatter kernel on the device-local edge block.
+
 Supports v1 AND v2 logits and the reference's full dropout placement
 (input, post-projection, attention numerator with pre-dropout denominator).
 """
@@ -37,21 +43,34 @@ def _drop(x, key, rate):
 
 
 def _drop_heads(x, key, rate, n_heads):
-    """Per-head input dropout as ONE batched bernoulli ([H, *x.shape]).
+    """Per-head input dropout as ONE batched bernoulli ([N, H, F]).
 
     Never vmap _drop over split per-head keys: with the hardware (rbg)
     generator each key forces a serialized rng-bit-generator (~1000x slower
-    than one batched draw); one [H, ...] draw keeps heads independent at
+    than one batched draw); one batched draw keeps heads independent at
     full speed (same rule as models.layers.DropoutMasks)."""
-    keep = jax.random.bernoulli(key, 1.0 - rate, (n_heads,) + x.shape)
-    return jnp.where(keep, x / (1.0 - rate), 0.0)
+    keep = jax.random.bernoulli(
+        key, 1.0 - rate, (x.shape[0], n_heads, x.shape[1])
+    )
+    return jnp.where(keep, x[:, None, :] / (1.0 - rate), 0.0)  # [N, H, F]
 
 
 def _att_keep(key, rate, n_heads, part: EdgePartition):
+    """[D, D, E_blk, H] inverted-dropout keep factors in partition layout."""
     keep = jax.random.bernoulli(
-        key, 1.0 - rate, (n_heads,) + tuple(part.edge_mask.shape)
+        key, 1.0 - rate, tuple(part.edge_mask.shape) + (n_heads,)
     )
     return keep.astype(jnp.float32) / (1.0 - rate)
+
+
+def _block_diag(w: jax.Array) -> jax.Array:
+    """[H, F_in, F_out] -> block-diagonal [H*F_in, H*F_out] (one MXU matmul
+    applies all heads to per-head-masked inputs; see layers.py rationale)."""
+    n_heads = w.shape[0]
+    eye = jnp.eye(n_heads, dtype=w.dtype)
+    return jnp.einsum("hfo,hk->hfko", w, eye).reshape(
+        n_heads * w.shape[1], n_heads * w.shape[2]
+    )
 
 
 def ring_apply_gat(
@@ -66,9 +85,8 @@ def ring_apply_gat(
 ) -> jax.Array:
     """Forward pass of the stacked model through the ring attention kernels.
 
-    Same math as ``apply_gat`` on the sparse layer types (one deliberate
-    divergence: the exact online segment-max stabilization instead of the
-    single-chip bound — both are exact softmax shifts).
+    Same math as ``apply_gat`` on the sparse layer types (the same exact
+    bound-shifted softmax as the single-chip head-batched layers).
     """
     if not cfg.is_sparse:
         raise ValueError("ring path implements the sparse layer types")
@@ -80,48 +98,60 @@ def ring_apply_gat(
         concat = i < cfg.nlayers - 1
         n_heads = layer_params.W.shape[0]
         f_out = layer_params.W.shape[-1]
+        hf = n_heads * f_out
         rng, k_in, k_p1, k_p2, k_att = jax.random.split(rng, 5)
 
         if cfg.is_v2:
             f_in = h.shape[1]
             if use_drop:
-                x_h = _drop_heads(h, k_in, p_drop, n_heads)  # [H, N, F_in]
-            else:
-                x_h = jnp.broadcast_to(h, (n_heads,) + h.shape)
-            whi = jnp.einsum("hnf,hfo->hno", x_h, layer_params.W[:, :f_in])
-            whj = jnp.einsum("hnf,hfo->hno", x_h, layer_params.W[:, f_in:])
-            if use_drop:
+                x_h = _drop_heads(h, k_in, p_drop, n_heads)  # [N, H, F_in]
+                x2 = x_h.reshape(n, n_heads * f_in)
+                whi = x2 @ _block_diag(layer_params.W[:, :f_in])  # [N, HF]
+                whj = x2 @ _block_diag(layer_params.W[:, f_in:])
                 whi = _drop(whi, k_p1, p_drop)
                 whj = _drop(whj, k_p2, p_drop)
+            else:
+                x_h = None
+                whi = h @ jnp.moveaxis(layer_params.W[:, :f_in], 0, 1).reshape(
+                    f_in, hf)
+                whj = h @ jnp.moveaxis(layer_params.W[:, f_in:], 0, 1).reshape(
+                    f_in, hf)
             keep = (_att_keep(k_att, p_drop, n_heads, part)
                     if use_drop else None)
             out = ring_gat_attention_v2(
                 whi, whj, layer_params.a, part, mesh, alpha=cfg.alpha,
                 att_keep=keep,
-            )
+            )  # [N, HF]
         else:
+            f_in = h.shape[1]
             if use_drop:
                 x_h = _drop_heads(h, k_in, p_drop, n_heads)
+                whf = x_h.reshape(n, n_heads * f_in) @ _block_diag(
+                    layer_params.W)
+                whf = _drop(whf, k_p1, p_drop)
             else:
-                x_h = jnp.broadcast_to(h, (n_heads,) + h.shape)
-            wh = jnp.einsum("hnf,hfo->hno", x_h, layer_params.W)
-            if use_drop:
-                wh = _drop(wh, k_p1, p_drop)
-            f_dst = jnp.einsum("hno,ho->hn", wh, layer_params.a[:, :f_out])
-            f_src = jnp.einsum("hno,ho->hn", wh, layer_params.a[:, f_out:])
+                x_h = None
+                whf = h @ jnp.moveaxis(layer_params.W, 0, 1).reshape(f_in, hf)
+            f_dst = jnp.einsum("nho,ho->nh", whf.reshape(n, n_heads, f_out),
+                               layer_params.a[:, :f_out])  # [N, H]
+            a_src = layer_params.a[:, f_out:]  # [H, F_out]
             keep = (_att_keep(k_att, p_drop, n_heads, part)
                     if use_drop else None)
             out = ring_gat_attention(
-                f_dst, f_src, wh, part, mesh, alpha=cfg.alpha, att_keep=keep,
-            )
+                f_dst, whf, a_src, part, mesh, alpha=cfg.alpha, att_keep=keep,
+            )  # [N, HF]
 
+        out3 = out.reshape(n, n_heads, f_out)
         if layer_params.skip is not None:
-            out = out + jnp.einsum("hnf,hfo->hno", x_h, layer_params.skip)
+            if x_h is not None:
+                out3 = out3 + jnp.einsum("nhf,hfo->nho", x_h,
+                                         layer_params.skip)
+            else:
+                out3 = out3 + jnp.einsum("nf,hfo->nho", h, layer_params.skip)
         if concat:
-            out = jax.nn.elu(out)
-            h = jnp.moveaxis(out, 0, 1).reshape(n, n_heads * f_out)
+            h = jax.nn.elu(out3).reshape(n, hf)
         else:
-            h = out.mean(axis=0)
+            h = out3.mean(axis=1)
     return h
 
 

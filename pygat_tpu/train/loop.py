@@ -34,14 +34,27 @@ from pygat_tpu.train.state import TrainState, init_state, make_optimizer
 
 
 def make_transductive_steps(
-    cfg: GATConfig, tx: optax.GradientTransformation, tiles=None
+    cfg: GATConfig, tx: optax.GradientTransformation, tiles=None,
+    segment_impl: str | None = None, apply_fn=None,
 ):
     """Build (train_step, eval_step) jitted closures. ``tiles`` (a
     TiledGraph) routes dropout-free passes through the fused Pallas kernel
-    when the 'pallas' backend is selected."""
+    when the 'pallas' backend is selected. ``segment_impl`` pins the
+    segment lowering for these steps only (scoped, not process-global) —
+    the GSPMD multi-device path passes 'scatter' because a Pallas custom
+    call cannot be partition-propagated. ``apply_fn(params, x, graph, key,
+    train)`` substitutes the forward (the ring halo-exchange path plugs in
+    here)."""
+    from pygat_tpu.ops import segment as _seg
+
+    if apply_fn is None:
+        def apply_fn(params, x, graph, key, train):
+            return apply_gat(params, cfg, x, graph, key, train=train,
+                             tiles=tiles)
 
     def _loss(params, x, graph, labels, idx, key, train):
-        out = apply_gat(params, cfg, x, graph, key, train=train, tiles=tiles)
+        with _seg.use_impl(segment_impl):
+            out = apply_fn(params, x, graph, key, train)
         lp = log_logits(out)
         loss = nll_loss(lp[idx], labels[idx])
         acc = accuracy(lp[idx], labels[idx])
@@ -70,17 +83,51 @@ def make_transductive_steps(
 def _enter_mesh(data, state, mesh):
     """Place a CitationDataset + TrainState on a mesh for SPMD training.
 
-    On multi-device meshes the segment ops are pinned to the XLA lowering
-    for the remainder of the process: GSPMD cannot partition a Pallas
-    custom call over sharded edge arrays. (Single-device meshes keep the
-    stream kernel.)
+    Side-effect-free: the segment-impl choice for multi-device GSPMD steps
+    (XLA scatter — GSPMD cannot partition a Pallas custom call over sharded
+    edge arrays) is scoped to those steps via ``_mesh_segment_impl`` +
+    ``ops.segment.use_impl``, so single-device runs in the same process
+    keep the stream kernel.
     """
-    from pygat_tpu.ops import segment as _seg
     from pygat_tpu.parallel.distributed import sharded_fit_inputs
 
-    if mesh.devices.size > 1 and _seg._segment_impl in ("auto", "stream"):
-        _seg.set_segment_impl("scatter")
     return sharded_fit_inputs(data, state, mesh)
+
+
+def _mesh_segment_impl(mesh) -> str | None:
+    """'scatter' on a real multi-device mesh, else None (= global default)."""
+    return "scatter" if mesh is not None and mesh.devices.size > 1 else None
+
+
+def _ring_setup(cfg: GATConfig, data, mesh):
+    """(data, apply_fn) for the ring halo-exchange training path.
+
+    Repads the graph so each data-shard's node range is 128-row-tile
+    aligned (``N_pad % (128 * D) == 0`` — the per-shard stream-kernel
+    contract), builds the edge partition, and returns the ring forward.
+    Unlike GSPMD, the ring path keeps the Pallas stream kernel under
+    distribution (it runs per device inside shard_map), so the segment
+    impl is NOT pinned to scatter.
+    """
+    from pygat_tpu.data.citation import repad_citation
+    from pygat_tpu.parallel.mesh import DATA_AXIS
+    from pygat_tpu.parallel.partition import partition_edges
+    from pygat_tpu.parallel.ring_model import ring_apply_gat
+
+    if not cfg.is_sparse:
+        raise ValueError("partition='ring' implements the sparse layer types")
+    d = mesh.shape[DATA_AXIS]
+    unit = 128 * d
+    n_pad = data.graph.num_nodes_padded
+    want = -(-max(n_pad, int(data.graph.n_node) + 1) // unit) * unit
+    if want != n_pad:
+        data = repad_citation(data, want)
+    part = partition_edges(data.graph, d)
+
+    def apply_fn(params, x, graph, key, train):
+        return ring_apply_gat(params, cfg, x, part, mesh, key, train=train)
+
+    return data, apply_fn
 
 
 @dataclass
@@ -111,6 +158,7 @@ def fit_transductive(
     init_params: Any = None,
     resume: bool = False,
     mesh=None,
+    partition: str = "gspmd",
 ) -> FitResult:
     """Reference policy: track best val loss, patience counter, save every
     epoch, rotate non-best, restore best, test (train.py:191-236).
@@ -122,7 +170,11 @@ def fit_transductive(
 
     ``mesh``: a ('data', 'model') jax mesh turns the loop SPMD — node/edge
     arrays shard on 'data' (graph partitioning), head-stacked parameters on
-    'model'; GSPMD inserts the ICI collectives. Same math, same results.
+    'model'. ``partition`` picks the mechanism: 'gspmd' annotates and lets
+    XLA insert the ICI collectives (segment ops pinned to scatter — GSPMD
+    cannot partition a Pallas call); 'ring' runs the hand-scheduled
+    ppermute halo exchange with per-shard stream kernels
+    (parallel.ring_model) — the multi-chip fast path. Same math either way.
     """
     from pygat_tpu.ops.dispatch import get_backend
 
@@ -148,14 +200,21 @@ def fit_transductive(
                        # checkpoint of a finished run (post-best epochs will
                        # be re-trained from it)
                        from_best=(header["epoch"] == header.get("best_epoch")))
+    apply_fn = None
     if mesh is not None:
+        if partition == "ring":
+            data, apply_fn = _ring_setup(cfg, data, mesh)
         data, state = _enter_mesh(data, state, mesh)
     tiles = None
     if get_backend() == "pallas" and cfg.layer_type == "GAT_sparse":
         from pygat_tpu.ops.tiles import tile_graph
 
         tiles = tile_graph(data.graph)
-    train_step, eval_step = make_transductive_steps(cfg, tx, tiles=tiles)
+    train_step, eval_step = make_transductive_steps(
+        cfg, tx, tiles=tiles, apply_fn=apply_fn,
+        # the ring path keeps the stream kernel under distribution
+        segment_impl=None if apply_fn else _mesh_segment_impl(mesh),
+    )
 
     x, g, labels = data.features, data.graph, data.labels
 
@@ -474,12 +533,8 @@ def make_sharded_inductive_epochs(cfg: GATConfig,
     from pygat_tpu.ops import segment as _seg
 
     def _batch_loss(params, x, graph, y, key, train):
-        prev = _seg._segment_impl
-        _seg.set_segment_impl("scatter")
-        try:
+        with _seg.use_impl("scatter"):
             out = apply_gat(params, cfg, x, graph, key, train=train)
-        finally:
-            _seg.set_segment_impl(prev)
         mask = graph.node_mask
         loss = bce_with_logits(out, y, mask=mask)
         return loss, (micro_f1(out, y, mask=mask), out)
@@ -669,7 +724,7 @@ def fit_inductive_fast(
 
 def make_scanned_epochs(
     cfg: GATConfig, tx: optax.GradientTransformation, n_epochs: int, tiles=None,
-    fastmode: bool = False,
+    fastmode: bool = False, segment_impl: str | None = None,
 ):
     """One jitted program that runs ``n_epochs`` full train(+eval) epochs via
     lax.scan — a single host dispatch per chunk of epochs.
@@ -681,8 +736,12 @@ def make_scanned_epochs(
     metric vectors.
     """
 
+    from pygat_tpu.ops import segment as _seg
+
     def _loss(params, x, graph, labels, idx, key, train):
-        out = apply_gat(params, cfg, x, graph, key, train=train, tiles=tiles)
+        with _seg.use_impl(segment_impl):
+            out = apply_gat(params, cfg, x, graph, key, train=train,
+                            tiles=tiles)
         lp = log_logits(out)
         return nll_loss(lp[idx], labels[idx]), (accuracy(lp[idx], labels[idx]), lp)
 
@@ -712,15 +771,22 @@ def make_scanned_epochs(
 
 def make_scanned_epochs_with_best(
     cfg: GATConfig, tx: optax.GradientTransformation, n_epochs: int, tiles=None,
-    fastmode: bool = False,
+    fastmode: bool = False, segment_impl: str | None = None, apply_fn=None,
 ):
     """Chunked fast path: K epochs per dispatch AND on-device tracking of the
     best-validation-loss parameters (the reference's save-every-epoch +
     restore-best policy, train.py:201-233, without a host round trip per
     epoch). Carry: (state, best_val, best_params, best_epoch)."""
+    from pygat_tpu.ops import segment as _seg
+
+    if apply_fn is None:
+        def apply_fn(params, x, graph, key, train):
+            return apply_gat(params, cfg, x, graph, key, train=train,
+                             tiles=tiles)
 
     def _loss(params, x, graph, labels, idx, key, train):
-        out = apply_gat(params, cfg, x, graph, key, train=train, tiles=tiles)
+        with _seg.use_impl(segment_impl):
+            out = apply_fn(params, x, graph, key, train)
         lp = log_logits(out)
         return nll_loss(lp[idx], labels[idx]), (accuracy(lp[idx], labels[idx]), lp)
 
@@ -776,13 +842,15 @@ def fit_transductive_fast(
     init_params: Any = None,
     mesh=None,
     resume: bool = False,
+    partition: str = "gspmd",
 ) -> FitResult:
     """Same policy/result as fit_transductive (best-val params are restored
     exactly, tracked on device), but the host syncs once per ``epoch_chunk``
     epochs: early stopping can overshoot by up to epoch_chunk-1 epochs of
     extra compute, never changing the selected model. Checkpoints are
     written at chunk boundaries (full state) rather than every epoch.
-    ``mesh``: SPMD over a ('data', 'model') mesh (see fit_transductive).
+    ``mesh``: SPMD over a ('data', 'model') mesh; ``partition``:
+    'gspmd' or 'ring' (see fit_transductive).
 
     ``resume=True`` continues exactly from the newest chunk checkpoint:
     the header carries the val-loss history (for the patience policy) and
@@ -796,7 +864,10 @@ def fit_transductive_fast(
     key, init_key = jax.random.split(key)
     params = init_params if init_params is not None else init_gat(init_key, cfg)
     state = init_state(params, tx, key)
+    apply_fn = None
     if mesh is not None:
+        if partition == "ring":
+            data, apply_fn = _ring_setup(cfg, data, mesh)
         data, state = _enter_mesh(data, state, mesh)
         params = state.params
     tiles = None
@@ -805,9 +876,15 @@ def fit_transductive_fast(
 
         tiles = tile_graph(data.graph)
 
+    # the ring path keeps the stream kernel under distribution
+    seg_impl = None if apply_fn else _mesh_segment_impl(mesh)
     run = make_scanned_epochs_with_best(cfg, tx, epoch_chunk, tiles=tiles,
-                                        fastmode=fastmode)
-    _, eval_step = make_transductive_steps(cfg, tx, tiles=tiles)
+                                        fastmode=fastmode,
+                                        segment_impl=seg_impl,
+                                        apply_fn=apply_fn)
+    _, eval_step = make_transductive_steps(
+        cfg, tx, tiles=tiles, segment_impl=seg_impl, apply_fn=apply_fn
+    )
 
     x, g, labels = data.features, data.graph, data.labels
     carry = (state, jnp.asarray(jnp.inf), params, jnp.asarray(-1, jnp.int32))

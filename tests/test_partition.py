@@ -1,6 +1,7 @@
-"""Ring halo-exchange attention (shard_map + ppermute + online segment
-softmax) vs the single-device XLA path — forward and gradients — on the
-8-device CPU mesh."""
+"""Ring halo-exchange attention (shard_map + ppermute + per-shard segment
+reductions) vs the single-device XLA path — forward and gradients — on the
+8-device CPU mesh. Includes stream-layout (Pallas kernel, interpret mode)
+vs scatter-fallback equivalence for the multi-chip fast path."""
 
 import jax
 import jax.numpy as jnp
@@ -8,9 +9,16 @@ import numpy as np
 import pytest
 
 from pygat_tpu.graph import build_graph
+from pygat_tpu.ops import segment as seg
 from pygat_tpu.ops.sparse_attention import _xla_forward
 from pygat_tpu.parallel import make_mesh
-from pygat_tpu.parallel.partition import EdgePartition, partition_edges, ring_gat_attention
+from pygat_tpu.parallel.partition import (
+    EdgePartition,
+    partition_edges,
+    ring_gat_attention,
+)
+
+H, F = 2, 16
 
 
 @pytest.fixture(scope="module")
@@ -21,17 +29,26 @@ def setup():
     np.fill_diagonal(dense, True)
     recv, send = np.nonzero(dense)
     g = build_graph(send, recv, None, n, n_pad=512)
-    H, F = 2, 16
     fd = jnp.asarray(rng.standard_normal((H, 512)).astype(np.float32))
-    fs = jnp.asarray(rng.standard_normal((H, 512)).astype(np.float32))
     wh = jnp.asarray(rng.standard_normal((H, 512, F)).astype(np.float32))
-    return g, fd, fs, wh
+    a_src = jnp.asarray(rng.standard_normal((H, F)).astype(np.float32))
+    return g, fd, wh, a_src
+
+
+def _to_whf(wh):  # [H, N, F] -> [N, H*F]
+    return jnp.moveaxis(wh, 0, 1).reshape(wh.shape[1], -1)
+
+
+def _from_out(out, h=H):  # [N, H*F] -> [H, N, F]
+    n = out.shape[0]
+    return jnp.moveaxis(out.reshape(n, h, -1), 0, 1)
 
 
 def test_partition_edges_layout(setup):
-    g, fd, fs, wh = setup
+    g, fd, wh, a_src = setup
     part = partition_edges(g, 4)
     assert part.n_local == 128
+    assert part.has_stream  # 128 % 128 == 0 -> stream-aligned blocks
     em = np.asarray(part.edge_mask)
     assert em.sum() == int(g.n_edge)
     # block (d, s) holds edges from shard s to shard d with local indices
@@ -44,36 +61,100 @@ def test_partition_edges_layout(setup):
     want = set(zip(np.asarray(g.receivers)[mask].tolist(),
                    np.asarray(g.senders)[mask].tolist()))
     assert set(zip(recv_glob.tolist(), send_glob.tolist())) == want
+    # per-block receivers stay sorted through the stream padding
+    for d in range(4):
+        for s in range(4):
+            assert (np.diff(rl[d, s]) >= 0).all()
+    # dead slots never fire the one-hot
+    loc = np.asarray(part.local)
+    assert (loc[~em] == 128).all()
+    np.testing.assert_array_equal(rl[em] % 128, loc[em])
 
 
 @pytest.mark.parametrize("n_shards", [2, 4, 8])
 def test_ring_matches_single_device(setup, n_shards):
-    g, fd, fs, wh = setup
+    g, fd, wh, a_src = setup
     mesh = make_mesh(n_shards, 1, devices=jax.devices()[:n_shards])
     part = partition_edges(g, n_shards)
-    out_ring = ring_gat_attention(fd, fs, wh, part, mesh, alpha=0.2)
+    fs = jnp.einsum("hnf,hf->hn", wh, a_src)
+    out_ring = ring_gat_attention(fd.T, _to_whf(wh), a_src, part, mesh,
+                                  alpha=0.2)
     out_ref = _xla_forward(fd, fs, wh, g.senders, g.receivers, g.edge_mask, 0.2)
-    np.testing.assert_allclose(np.asarray(out_ring), np.asarray(out_ref),
-                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(_from_out(out_ring)),
+                               np.asarray(out_ref), rtol=1e-4, atol=1e-5)
 
 
 def test_ring_gradients_match(setup):
-    g, fd, fs, wh = setup
+    g, fd, wh, a_src = setup
     mesh = make_mesh(4, 1, devices=jax.devices()[:4])
     part = partition_edges(g, 4)
+    fdT, whf = fd.T, _to_whf(wh)
 
-    def loss_ring(fd, fs, wh):
-        return jnp.sum(jnp.sin(ring_gat_attention(fd, fs, wh, part, mesh, alpha=0.2)))
+    def loss_ring(fdT, whf, a_src):
+        return jnp.sum(jnp.sin(
+            ring_gat_attention(fdT, whf, a_src, part, mesh, alpha=0.2)
+        ))
 
-    def loss_ref(fd, fs, wh):
-        return jnp.sum(jnp.sin(_xla_forward(fd, fs, wh, g.senders, g.receivers,
-                                            g.edge_mask, 0.2)))
+    def loss_ref(fdT, whf, a_src):
+        wh_ = jnp.moveaxis(whf.reshape(512, H, F), 0, 1)
+        fs = jnp.einsum("hnf,hf->hn", wh_, a_src)
+        return jnp.sum(jnp.sin(_xla_forward(
+            fdT.T, fs, wh_, g.senders, g.receivers, g.edge_mask, 0.2
+        )))
 
-    g1 = jax.grad(loss_ring, argnums=(0, 1, 2))(fd, fs, wh)
-    g2 = jax.grad(loss_ref, argnums=(0, 1, 2))(fd, fs, wh)
+    g1 = jax.grad(loss_ring, argnums=(0, 1, 2))(fdT, whf, a_src)
+    g2 = jax.grad(loss_ref, argnums=(0, 1, 2))(fdT, whf, a_src)
     for a, b in zip(g1, g2):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-3, atol=1e-5)
+
+
+@pytest.mark.parametrize("variant", ["v1", "v2"])
+def test_ring_stream_matches_scatter(setup, variant):
+    """THE multi-chip fast path: per-shard stream-scatter kernels (interpret
+    mode on CPU) inside the ring == the sorted-scatter fallback, forward
+    and gradients (VERDICT r2 item 1 done-condition)."""
+    from pygat_tpu.parallel.partition import ring_gat_attention_v2
+
+    g, fd, wh, a_src = setup
+    mesh = make_mesh(4, 2)
+    part = partition_edges(g, 4)
+    assert part.has_stream
+    rng = np.random.default_rng(7)
+    whj = jnp.asarray(rng.standard_normal((512, H * F)).astype(np.float32))
+    fdT, whf = fd.T, _to_whf(wh)
+
+    if variant == "v1":
+        def run(fdT, whf, a_src):
+            return ring_gat_attention(fdT, whf, a_src, part, mesh, alpha=0.2)
+        args = (fdT, whf, a_src)
+    else:
+        def run(whi, whj, a):
+            return ring_gat_attention_v2(whi, whj, a, part, mesh, alpha=0.2)
+        args = (whf, whj, a_src)
+
+    def value_and_grads(impl):
+        with seg.use_impl(impl):
+            out = run(*args)
+            grads = jax.grad(lambda *a: jnp.sum(jnp.sin(run(*a))),
+                             argnums=tuple(range(len(args))))(*args)
+        return out, grads
+
+    out_sc, g_sc = value_and_grads("scatter")
+    # two-limb kernel precision (~1e-5 per reduction) for a strict check
+    prev_prec = seg._STREAM_PRECISION
+    seg._STREAM_PRECISION = "high"
+    try:
+        out_st, g_st = value_and_grads("stream")
+    finally:
+        seg._STREAM_PRECISION = prev_prec
+    scale = float(jnp.abs(out_sc).max())
+    np.testing.assert_allclose(np.asarray(out_st), np.asarray(out_sc),
+                               atol=1e-3 * scale)
+    for a, b in zip(g_st, g_sc):
+        s = float(jnp.abs(b).max()) + 1e-6
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=3e-3 * s)
 
 
 # ---------------------------------------------------------------------------
@@ -82,15 +163,9 @@ def test_ring_gradients_match(setup):
 # ---------------------------------------------------------------------------
 
 
-@pytest.mark.parametrize("layer_type", ["GAT_sparse", "GATv2_sparse"])
-def test_ring_train_step_matches_gspmd(layer_type):
+def _ring_dataset():
     from pygat_tpu.data import synthetic
     from pygat_tpu.data.citation import CitationDataset
-    from pygat_tpu.models.gat import GATConfig, init_gat
-    from pygat_tpu.parallel.distributed import sharded_fit_inputs
-    from pygat_tpu.parallel.ring_model import make_ring_transductive_steps
-    from pygat_tpu.train.loop import make_transductive_steps
-    from pygat_tpu.train.state import init_state, make_optimizer
 
     n = 300
     s, r, labels = synthetic.planted_partition_graph(n, 4, "ring", avg_degree=8)
@@ -102,12 +177,24 @@ def test_ring_train_step_matches_gspmd(layer_type):
     x[:n, :32] = feats
     lab = np.full(512, -1, np.int32)
     lab[:n] = labels
-    data = CitationDataset(
+    return CitationDataset(
         graph=g, features=jnp.asarray(x), labels=jnp.asarray(lab),
         idx_train=jnp.arange(128), idx_val=jnp.arange(150, 214),
         idx_test=jnp.arange(214, 300), num_classes=4, num_features=32,
         synthetic_parts=("all",),
     )
+
+
+@pytest.mark.parametrize("layer_type", ["GAT_sparse", "GATv2_sparse"])
+def test_ring_train_step_matches_gspmd(layer_type):
+    from pygat_tpu.models.gat import GATConfig, init_gat
+    from pygat_tpu.parallel.distributed import sharded_fit_inputs
+    from pygat_tpu.parallel.ring_model import make_ring_transductive_steps
+    from pygat_tpu.train.loop import make_transductive_steps
+    from pygat_tpu.train.state import init_state, make_optimizer
+
+    data = _ring_dataset()
+    g = data.graph
     cfg = GATConfig(nlayers=2, nheads=(4, 2), nfeats=(64, 8, 4), dropout=0.0,
                     alpha=0.2, layer_type=layer_type, skip_connection=True)
     tx = make_optimizer(0.01, 5e-4)
@@ -144,17 +231,59 @@ def test_ring_train_step_matches_gspmd(layer_type):
     np.testing.assert_allclose(lv_b, lv_a, rtol=2e-4, atol=1e-5)
 
 
+@pytest.mark.parametrize("layer_type", ["GAT_sparse", "GATv2_sparse"])
+def test_ring_stream_train_step_matches_gspmd(layer_type):
+    """Full train steps through the per-shard STREAM kernels (interpret
+    mode) track the single-device GSPMD trajectory — the 'fast kernel
+    exists multi-chip' acceptance test."""
+    from pygat_tpu.models.gat import GATConfig, init_gat
+    from pygat_tpu.parallel.distributed import sharded_fit_inputs
+    from pygat_tpu.parallel.ring_model import make_ring_transductive_steps
+    from pygat_tpu.train.loop import make_transductive_steps
+    from pygat_tpu.train.state import init_state, make_optimizer
+
+    data = _ring_dataset()
+    cfg = GATConfig(nlayers=2, nheads=(4, 2), nfeats=(64, 8, 4), dropout=0.0,
+                    alpha=0.2, layer_type=layer_type, skip_connection=True)
+    tx = make_optimizer(0.01, 5e-4)
+    params = init_gat(jax.random.PRNGKey(0), cfg)
+
+    state_a = init_state(params, tx, jax.random.PRNGKey(1))
+    step_a, _ = make_transductive_steps(cfg, tx)
+    losses_a = []
+    for _ in range(3):
+        state_a, loss, *_ = step_a(state_a, data.features, data.graph,
+                                   data.labels, data.idx_train)
+        losses_a.append(float(loss))
+
+    mesh = make_mesh(4, 2)
+    part = partition_edges(data.graph, 4)
+    assert part.has_stream
+    sdata, sstate = sharded_fit_inputs(
+        data, init_state(params, tx, jax.random.PRNGKey(1)), mesh
+    )
+    with seg.use_impl("stream"):
+        step_b, _ = make_ring_transductive_steps(cfg, tx, part, mesh)
+        losses_b = []
+        state_b = sstate
+        for _ in range(3):
+            state_b, loss, *_ = step_b(state_b, sdata.features, sdata.labels,
+                                       sdata.idx_train)
+            losses_b.append(float(loss))
+    # stream kernel runs at bf16-class ('fastest') precision
+    np.testing.assert_allclose(losses_b, losses_a, rtol=3e-3)
+
+
 def test_ring_v2_attention_matches_layer(setup):
     """ring_gat_attention_v2 == the single-device v2 segment-softmax math."""
     from pygat_tpu.ops.segment import segment_softmax_stable, segment_sum
     from pygat_tpu.parallel.partition import ring_gat_attention_v2
 
-    g, _, _, wh = setup
+    g, _, wh, a_src = setup
     rng = np.random.default_rng(9)
-    H, F = wh.shape[0], wh.shape[-1]
     whi = jnp.asarray(rng.standard_normal((H, 512, F)).astype(np.float32))
     whj = jnp.asarray(rng.standard_normal((H, 512, F)).astype(np.float32))
-    a = jnp.asarray(rng.standard_normal((H, F)).astype(np.float32))
+    a = a_src
     alpha = 0.2
 
     def one_head(wi, wj, ah):
@@ -169,6 +298,7 @@ def test_ring_v2_attention_matches_layer(setup):
     want = jax.vmap(one_head)(whi, whj, a)
     mesh = make_mesh(4, 2)
     part = partition_edges(g, 4)
-    got = ring_gat_attention_v2(whi, whj, a, part, mesh, alpha=alpha)
-    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+    got = ring_gat_attention_v2(_to_whf(whi), _to_whf(whj), a, part, mesh,
+                                alpha=alpha)
+    np.testing.assert_allclose(np.asarray(_from_out(got)), np.asarray(want),
                                rtol=1e-4, atol=1e-5)
