@@ -105,6 +105,12 @@ def main() -> int:
                 "step_ms": round(t * 1e3, 3),
                 "edges_per_s": round(n_edges / t),
                 "efficiency_vs_base": round(eff, 3),
+                # total device-time per step vs the base point (== eff *
+                # n_dev). On a TIMESHARED host (virtual CPU mesh on few
+                # cores) wall-clock efficiency is bounded by
+                # n_cores/n_dev, so this is the honest CPU-mesh metric:
+                # 1.0 = the distributed program does no extra work
+                "work_efficiency_vs_base": round(eff * n_dev, 3),
                 "platform": jax.devices()[0].platform,
                 "n_nodes": a.n,
                 "n_edges": n_edges,

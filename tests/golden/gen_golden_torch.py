@@ -129,6 +129,93 @@ def log_logits(out):
     return torch.log_softmax(torch.nn.functional.elu(out), dim=1)
 
 
+# ---------------------------------------------------------------------------
+# Train-mode variants with FIXED keep masks (VERDICT r2 item 7): the same
+# dropout placement as the reference in train mode — input AND
+# post-projection AND attention numerator, with the softmax denominator
+# computed from PRE-dropout numerators (reference layers.py:132-160; dense
+# variants drop the post-softmax attention matrix, layers.py:34-43) — but
+# with dropout realized as multiplication by pre-drawn boolean masks
+# scaled by 1/(1-p), so the JAX build can consume the identical masks
+# through DropoutMasks and be compared exactly.
+# ---------------------------------------------------------------------------
+
+
+def dropped(x, mask, p):
+    return x * mask / (1.0 - p)
+
+
+def v1_dense_train(h, adj, W, a, skip, concat, M, p):
+    f_out = W.shape[1]
+    h = dropped(h, M["m_in"], p)
+    Wh = dropped(h @ W, M["m_proj"], p)
+    e = leaky(Wh @ a[:f_out] + (Wh @ a[f_out:]).T)
+    att = torch.where(adj > 0, e, torch.full_like(e, NEG))
+    att = torch.softmax(att, dim=1)
+    att = dropped(att, M["m_att"], p)  # post-softmax (layers.py:43)
+    return finish(att @ Wh, h, skip, concat)
+
+
+def v2_dense_train(h, adj, W, a, skip, concat, M, p):
+    f_in = h.shape[1]
+    h = dropped(h, M["m_in"], p)
+    Wh1 = dropped(h @ W[:f_in], M["m_proj"], p)
+    Wh2 = dropped(h @ W[f_in:], M["m_proj2"], p)
+    e = leaky(Wh1 + Wh2) @ a  # [N, 1] quirk preserved
+    att = torch.where(adj > 0, e, torch.full_like(adj, NEG))
+    att = torch.softmax(att, dim=1)
+    att = dropped(att, M["m_att"], p)
+    return finish(att @ Wh2, h, skip, concat)
+
+
+def _seg_softmax_spmm_train(edge, e, values, n, m_att_e, p):
+    """Reference layers.py:145-160 order: scatter-max, exp, ROWSUM FROM
+    PRE-DROPOUT numerators, then dropout on the aggregation numerator."""
+    recv = edge[0]
+    e_max = torch.full((n,), -torch.inf, dtype=e.dtype).scatter_reduce(
+        0, recv, e, reduce="amax", include_self=False
+    )
+    num = torch.exp(e - e_max[recv])
+    sp_pre = torch.sparse_coo_tensor(edge, num, (n, n))
+    rowsum = sp_pre @ torch.ones((n, 1), dtype=e.dtype)  # pre-dropout denom
+    num = dropped(num, m_att_e, p)
+    h_prime = torch.sparse_coo_tensor(edge, num, (n, n)) @ values
+    return h_prime / rowsum
+
+
+def v1_sparse_train(h, adj, W, a, skip, concat, M, p):
+    n = h.shape[0]
+    edge = _coo(adj)
+    f_out = W.shape[1]
+    h = dropped(h, M["m_in"], p)
+    Wh = dropped(h @ W, M["m_proj"], p)
+    e = leaky(Wh[edge[0]] @ a[:f_out] + Wh[edge[1]] @ a[f_out:]).squeeze(-1)
+    m_att_e = M["m_att"][edge[0], edge[1]]
+    return finish(_seg_softmax_spmm_train(edge, e, Wh, n, m_att_e, p),
+                  h, skip, concat)
+
+
+def v2_sparse_train(h, adj, W, a, skip, concat, M, p):
+    n = h.shape[0]
+    edge = _coo(adj)
+    f_in = h.shape[1]
+    h = dropped(h, M["m_in"], p)
+    Whi = dropped(h @ W[:f_in], M["m_proj"], p)
+    Whj = dropped(h @ W[f_in:], M["m_proj2"], p)
+    e = (leaky(Whi[edge[0]] + Whj[edge[1]]) @ a).squeeze(-1)
+    m_att_e = M["m_att"][edge[0], edge[1]]
+    return finish(_seg_softmax_spmm_train(edge, e, Whi, n, m_att_e, p),
+                  h, skip, concat)
+
+
+TRAIN_FNS = {
+    "GAT": v1_dense_train,
+    "GAT_sparse": v1_sparse_train,
+    "GATv2": v2_dense_train,
+    "GATv2_sparse": v2_sparse_train,
+}
+
+
 def make_graph(rng, n, avg_deg):
     """Random digraph + self loops, symmetrized + D^-1/2 (A+I) D^-1/2
     normalized like the citation pipeline (reference utils.py:49-52)."""
@@ -173,6 +260,34 @@ def main():
                 )
                 tag = f"{lt}/out_c{int(concat)}_s{int(use_skip)}"
                 out[tag] = y.numpy()
+
+    # train-mode fixed-mask cases (reuses each variant's eval W/a/skip):
+    # masks drawn at the reference dropout rate, saved as booleans so the
+    # JAX side can inject the identical masks through DropoutMasks
+    p_drop = 0.6
+    out["p_drop"] = np.float64(p_drop)
+    for lt in LAYER_FNS:
+        two = lt.startswith("GATv2")
+        W = out[f"{lt}/W"]
+        a_vec = out[f"{lt}/a"]
+        skip = out[f"{lt}/skip"]
+        f_out = W.shape[1]
+        M_np = {
+            "m_in": rng.random((n, f_in)) < (1 - p_drop),
+            "m_proj": rng.random((n, f_out)) < (1 - p_drop),
+            "m_att": rng.random((n, n)) < (1 - p_drop),
+        }
+        if two:
+            M_np["m_proj2"] = rng.random((n, f_out)) < (1 - p_drop)
+        for k, v in M_np.items():
+            out[f"train/{lt}/{k}"] = v
+        M = {k: torch.tensor(v, dtype=torch.float64) for k, v in M_np.items()}
+        for concat in (True, False):
+            y = TRAIN_FNS[lt](
+                h, adj, torch.tensor(W), torch.tensor(a_vec),
+                torch.tensor(skip), concat, M, p_drop,
+            )
+            out[f"train/{lt}/out_c{int(concat)}"] = y.numpy()
 
     # 2-layer 3+1-head model per variant + the ELU/log_softmax loss head
     n_classes = 4
