@@ -14,11 +14,16 @@ reference's published sparse-GAT epoch time on a Titan Xp, 0.08-0.14 s
 vs_baseline = 80 / ours (higher is better).
 
 Backends timed (details on stderr):
-* ``stream``      — Pallas stream-scatter segment sums (ops/stream.py), the
-                    default on TPU;
-* ``xla``         — XLA scatter-add segment sums (the round-1 default);
-* ``pallas-bcsr`` — the round-1 fused BCSR one-hot kernel + RCM reordering,
-                    kept for comparison.
+* ``fused``  — fused attention + scatter in ONE Pallas kernel per layer
+               (ops/fused_stream.py), the default on TPU;
+* ``stream`` — Pallas stream-scatter segment sums only (ops/stream.py),
+               per-edge attention in XLA (the round-2 default);
+* ``xla``    — XLA scatter-add segment sums (the round-1 default).
+
+The round-1 BCSR one-hot kernel (``pallas-bcsr``) was demoted to the test
+suite in round 3 after losing to the stream path in every round-2 bench
+(6.29 vs 2.70 ms — BENCH_r02.json); `benchmarks/bench_epoch.py` can still
+time it.
 """
 
 from __future__ import annotations
@@ -38,37 +43,31 @@ def _time_backend(backend: str) -> float:
     from pygat_tpu.models.gat import GATConfig, init_gat
     from pygat_tpu.models.presets import PRESETS, TRAIN_PRESETS
     from pygat_tpu.ops.dispatch import set_backend
+    from pygat_tpu.ops.fused_stream import set_fused_attention
     from pygat_tpu.ops.segment import set_segment_impl
     from pygat_tpu.train.loop import make_scanned_epochs
     from pygat_tpu.train.state import init_state, make_optimizer
 
-    reorder = False
-    if backend == "stream":
-        set_backend("xla")
+    set_backend("xla")
+    if backend == "fused":
         set_segment_impl("stream")
+        set_fused_attention("on")
+    elif backend == "stream":
+        set_segment_impl("stream")
+        set_fused_attention("off")
     elif backend == "xla":
-        set_backend("xla")
         set_segment_impl("scatter")
-    elif backend == "pallas-bcsr":
-        set_backend("pallas")
-        set_segment_impl("scatter")
-        reorder = True  # BCSR tile utilization needs RCM locality
+        set_fused_attention("off")
     else:
         raise ValueError(backend)
 
-    data = load_citation("cora", reorder=reorder)
+    data = load_citation("cora")
     cfg = GATConfig(layer_type="GAT_sparse", **PRESETS["cora"])
     cfg = cfg._replace(nfeats=(int(data.features.shape[1]),) + cfg.nfeats[1:])
     tp = TRAIN_PRESETS["cora"]
     tx = make_optimizer(tp["lr"], tp["weight_decay"])
 
-    tiles = None
-    if backend == "pallas-bcsr":
-        from pygat_tpu.ops.tiles import tile_graph
-
-        tiles = tile_graph(data.graph)
-
-    run = make_scanned_epochs(cfg, tx, N_EPOCHS, tiles=tiles)
+    run = make_scanned_epochs(cfg, tx, N_EPOCHS)
     params = init_gat(jax.random.PRNGKey(72), cfg)
     state = init_state(params, tx, jax.random.PRNGKey(0))
 
@@ -94,12 +93,15 @@ def main() -> int:
     from pygat_tpu.ops.segment import set_segment_impl
 
     results = {}
-    for backend in ("stream", "xla", "pallas-bcsr"):
+    for backend in ("fused", "stream", "xla"):
         try:
             results[backend] = _time_backend(backend)
         except Exception as exc:  # pallas may be unavailable off-TPU
             print(f"[bench] backend {backend} failed: {exc}", file=sys.stderr)
     set_segment_impl("auto")
+    from pygat_tpu.ops.fused_stream import set_fused_attention
+
+    set_fused_attention("auto")
     if not results:
         raise SystemExit("no backend produced a measurement")
     best_backend = min(results, key=results.get)

@@ -40,6 +40,22 @@ from pygat_tpu.ops.segment import (
 
 NEG_INF = -9e15  # reference's masking constant (layers.py:40)
 
+# Softmax-denominator clamp. 1e-18, NOT 0: with the bound-shifted softmax a
+# row whose incoming logits all sit far under the bound can underflow its
+# denominator toward the f32 subnormal band; the forward division still
+# cancels (num/den is a ratio of same-scale f32 normals), but the unfused
+# BACKWARD forms den^2, which underflows to 0 below den ~1.1e-19 -> 1/den^2
+# = inf, and inf*0 downstream turns every parameter gradient NaN (found by
+# the fused-kernel train test; applies to all segment backends). 1e-18
+# keeps den^2 normal with a 10x margin and every backward factor finite
+# (out/den <= ~1e22), while zeroing only rows whose best incoming edge sits
+# > 41 nats under the bound — numerically collapsed anyway. Don't raise it
+# further: the ring/stream bounds are loose (global max), and healthy rows
+# can carry den well under 1e-15 on adversarial inputs
+# (test_ring_v2_attention_matches_layer). The fused kernel's custom VJP
+# never forms these intermediates but uses the same clamp for parity.
+DEN_MIN = 1e-18
+
 
 class V1Params(NamedTuple):
     W: jax.Array  # [F_in, F_out]
@@ -258,7 +274,7 @@ def _sparse_attention_aggregate(
         h_prime = segment_sum(num[:, None] * values[graph.senders], graph.receivers, n_pad)
     # Reference divides with no guard (self-loops ensure denom > 0 on real
     # rows; layers.py:160); padding rows have denom == 0, clamp those.
-    denom = jnp.where(denom > 0, denom, 1.0)
+    denom = jnp.where(denom > DEN_MIN, denom, 1.0)
     return h_prime / denom[:, None]
 
 
@@ -336,6 +352,30 @@ def gat_v2_sparse(
     return _finish(h_prime, h, params.skip, concat)
 
 
+def _heads_tail(out, params, h, x_h, concat: bool):
+    """Shared skip/ELU/concat-or-mean tail of the head-batched sparse
+    layers: ``out`` is the aggregated [N, H, F_out]."""
+    n, n_heads, f_out = out.shape
+    if params.skip is not None:
+        if x_h is not None:
+            out = out + jnp.einsum("nhf,hfo->nho", x_h,
+                                   params.skip.astype(x_h.dtype),
+                                   preferred_element_type=jnp.float32)
+        else:
+            out = out + jnp.einsum("nf,hfo->nho", h, params.skip)
+    if concat:
+        return jax.nn.elu(out).reshape(n, n_heads * f_out)
+    return out.mean(axis=1)
+
+
+def _att_keepq(k_att, keep: float, e_pad: int, n_heads: int, use_drop: bool):
+    """[E, H] attention keep/(1-p) factors (lane-minor; ones in eval)."""
+    if not use_drop:
+        return jnp.ones((e_pad, n_heads), jnp.float32)
+    keep_att, q_att = _keep(k_att, keep, (e_pad, n_heads))
+    return jnp.where(keep_att, 1.0 / q_att, 0.0)
+
+
 def gat_v1_sparse_heads(
     params: V1Params,  # stacked [H, ...] leaves
     h: jax.Array,  # [N, F_in] (or [N, H*F] from a previous concat layer)
@@ -386,11 +426,14 @@ def gat_v1_sparse_heads(
         keep_in, q_in = _keep(k_in, keep, (n, n_heads, f_in))
         # bf16 storage for the masked copies: the MXU's DEFAULT-precision
         # f32 matmul already multiplies at bf16-class precision, so this
-        # loses nothing while halving the [N, H, F_in] HBM traffic
-        x_h = jnp.where(keep_in, h[:, None, :] / q_in, 0.0).astype(jnp.bfloat16)
+        # loses nothing while halving the [N, H, F_in] HBM traffic.
+        # (TPU only: XLA:CPU's DotThunk rejects bf16 x bf16 dots at some
+        # shapes, and the traffic argument is TPU-specific anyway.)
+        pdt = jnp.bfloat16 if jax.default_backend() == "tpu" else jnp.float32
+        x_h = jnp.where(keep_in, h[:, None, :] / q_in, 0.0).astype(pdt)
         w_bd = jnp.einsum("hfo,hk->hfko", params.W, jnp.eye(n_heads, dtype=params.W.dtype))
         w_bd = w_bd.reshape(n_heads * f_in, n_heads * f_out)
-        wh = jnp.dot(x_h.reshape(n, n_heads * f_in), w_bd.astype(jnp.bfloat16),
+        wh = jnp.dot(x_h.reshape(n, n_heads * f_in), w_bd.astype(pdt),
                      preferred_element_type=jnp.float32)  # [N, H*F] f32
         keep_proj, q_proj = _keep(k_proj, keep, wh.shape)
         wh = jnp.where(keep_proj, wh / q_proj, 0.0)  # [N, H*F]
@@ -400,6 +443,37 @@ def gat_v1_sparse_heads(
         wh = h @ w2d  # [N, H*F] — one MXU matmul
 
     wh3 = wh.reshape(n, n_heads, f_out)
+
+    from pygat_tpu.ops import fused_stream as _fs
+
+    if _fs.fused_enabled(graph):
+        # Fused path: logits/exp/dropout/messages/scatter all inside ONE
+        # Pallas kernel (ops/fused_stream.py) — no [E, *] intermediate or
+        # [H, E] tensor ever reaches HBM; the custom VJP recomputes
+        # lane-minor and reduces through the stream kernels. (Note: the
+        # attention keep mask draws as [E, H] here vs [H, E] below — a
+        # different rng stream, same distribution.)
+        from pygat_tpu.ops import segment as _seg
+
+        f_dst_n = jnp.einsum("nho,ho->nh", wh3, params.a[:, :f_out])  # [N, H]
+        f_src_n = jnp.einsum("nho,ho->nh", jax.lax.stop_gradient(wh3),
+                             params.a[:, f_out:])
+        m_src = jnp.max(jnp.where(graph.node_mask[:, None], f_src_n,
+                                  -jnp.inf), axis=0)
+        m_src = jnp.where(jnp.isfinite(m_src), m_src, 0.0)
+        bound = jax.lax.stop_gradient(
+            leaky_relu(f_dst_n + m_src[None, :], alpha))
+        keepq = _att_keepq(k_att, keep, e_pad, n_heads, use_drop)
+        agg, den = _fs.fused_v1_attention(
+            wh, f_dst_n, bound, params.a[:, f_out:], keepq,
+            graph.senders, graph.receivers, graph.r_local, graph.r_chunk,
+            graph.c_slot, graph.c_local, graph.c_chunk,
+            alpha, _seg._STREAM_PRECISION, _seg._stream_interpret(),
+        )
+        den = jnp.where(den > DEN_MIN, den, 1.0)
+        out = agg.reshape(n, n_heads, f_out) / den[:, :, None]
+        return _heads_tail(out, params, h, x_h, concat)
+
     f_dst = jnp.einsum("nho,ho->hn", wh3, params.a[:, :f_out])  # [H, N]
     f_src = jnp.einsum("nho,ho->hn", wh3, params.a[:, f_out:])
 
@@ -455,19 +529,10 @@ def gat_v1_sparse_heads(
     agg = segment_sum_receivers(msgs, graph)  # [N, HF + H]
 
     den = agg[:, hf:]  # [N, H]
-    den = jnp.where(den > 0, den, 1.0)
+    den = jnp.where(den > DEN_MIN, den, 1.0)
     out = agg[:, :hf].reshape(n, n_heads, f_out) / den[:, :, None]
 
-    if params.skip is not None:
-        if x_h is not None:
-            out = out + jnp.einsum("nhf,hfo->nho", x_h,
-                                   params.skip.astype(x_h.dtype),
-                                   preferred_element_type=jnp.float32)
-        else:
-            out = out + jnp.einsum("nf,hfo->nho", h, params.skip)
-    if concat:
-        return jax.nn.elu(out).reshape(n, n_heads * f_out)
-    return out.mean(axis=1)
+    return _heads_tail(out, params, h, x_h, concat)
 
 
 def gat_v2_sparse_heads(
@@ -516,6 +581,41 @@ def gat_v2_sparse_heads(
         wj2d = jnp.moveaxis(params.W[:, f_in:], 0, 1).reshape(f_in, hf)
         whi = h @ wi2d
         whj = h @ wj2d
+
+    from pygat_tpu.ops import fused_stream as _fs
+
+    if _fs.fused_enabled(graph):
+        # Fused v2: the sign-split monotone bound (below) computed
+        # lane-minor, then the whole per-edge pipeline in one Pallas kernel
+        # (see the v1 branch / ops/fused_stream.py).
+        from pygat_tpu.ops import segment as _seg
+
+        whj_m = jax.lax.stop_gradient(whj)
+        node_col = graph.node_mask[:, None]
+        big = jnp.asarray(jnp.inf, whj_m.dtype)
+        Mq = jnp.max(jnp.where(node_col, whj_m, -big), axis=0)  # [H*F]
+        mq = jnp.min(jnp.where(node_col, whj_m, big), axis=0)
+        Mq = jnp.where(jnp.isfinite(Mq), Mq, 0.0).reshape(n_heads, f_out)
+        mq = jnp.where(jnp.isfinite(mq), mq, 0.0).reshape(n_heads, f_out)
+        whi3 = jax.lax.stop_gradient(whi).reshape(n, n_heads, f_out)
+        a_pos = jnp.maximum(params.a, 0.0)
+        a_neg = jnp.minimum(params.a, 0.0)
+        ub = jnp.einsum("nhf,hf->nh", leaky_relu(whi3 + Mq[None], alpha),
+                        a_pos)
+        ub = ub + jnp.einsum("nhf,hf->nh", leaky_relu(whi3 + mq[None], alpha),
+                             a_neg)
+        ub = jax.lax.stop_gradient(ub)  # [N, H]
+        keepq = _att_keepq(k_att if use_drop else None, keep, e_pad,
+                           n_heads, use_drop)
+        agg, den = _fs.fused_v2_attention(
+            whi, whj, ub, params.a, keepq,
+            graph.senders, graph.receivers, graph.r_local, graph.r_chunk,
+            graph.c_slot, graph.c_local, graph.c_chunk,
+            alpha, _seg._STREAM_PRECISION, _seg._stream_interpret(),
+        )
+        den = jnp.where(den > DEN_MIN, den, 1.0)
+        out = agg.reshape(n, n_heads, f_out) / den[:, :, None]
+        return _heads_tail(out, params, h, x_h, concat)
 
     pre_i = gather_receivers(whi, graph)
     pre_j = gather_senders(whj, graph)
@@ -569,17 +669,10 @@ def gat_v2_sparse_heads(
     )
     agg = segment_sum_receivers(msgs, graph)  # [N, HF + H]
 
-    den = jnp.where(agg[:, hf:] > 0, agg[:, hf:], 1.0)  # [N, H]
+    den = jnp.where(agg[:, hf:] > DEN_MIN, agg[:, hf:], 1.0)  # [N, H]
     out = agg[:, :hf].reshape(n, n_heads, f_out) / den[:, :, None]
 
-    if params.skip is not None:
-        if x_h is not None:
-            out = out + jnp.einsum("nhf,hfo->nho", x_h, params.skip)
-        else:
-            out = out + jnp.einsum("nf,hfo->nho", h, params.skip)
-    if concat:
-        return jax.nn.elu(out).reshape(n, hf)
-    return out.mean(axis=1)
+    return _heads_tail(out, params, h, x_h, concat)
 
 
 def gat_v1_sparse_all_heads(

@@ -48,6 +48,7 @@ from jax.sharding import Mesh, PartitionSpec as P
 from jax import shard_map
 
 from pygat_tpu.graph import Graph
+from pygat_tpu.models.layers import DEN_MIN
 from pygat_tpu.parallel.mesh import DATA_AXIS
 from pygat_tpu.utils.padding import round_up
 
@@ -407,7 +408,7 @@ def ring_gat_attention(
                 w_buf = lax.ppermute(w_buf, DATA_AXIS, perm)
 
         den = acc[:, hf:]
-        den = jnp.where(den > 0, den, 1.0)
+        den = jnp.where(den > DEN_MIN, den, 1.0)
         out = acc[:, :hf].reshape(n_local, h, f) / den[:, :, None]
         return out.reshape(n_local, hf)
 
@@ -535,7 +536,7 @@ def ring_gat_attention_v2(
                 wj_buf = lax.ppermute(wj_buf, DATA_AXIS, perm)
 
         den = acc[:, hf:]
-        den = jnp.where(den > 0, den, 1.0)
+        den = jnp.where(den > DEN_MIN, den, 1.0)
         out = acc[:, :hf].reshape(n_local, h, f) / den[:, :, None]
         return out.reshape(n_local, hf)
 
