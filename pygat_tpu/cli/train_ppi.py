@@ -66,7 +66,11 @@ def main(argv=None) -> int:
     from pygat_tpu.models.presets import PRESETS, TRAIN_PRESETS
     from pygat_tpu.ops.dispatch import set_backend
     from pygat_tpu.train.logging import TrainLogger
-    from pygat_tpu.train.loop import fit_inductive, fit_inductive_fast
+    from pygat_tpu.train.loop import (
+        fit_inductive,
+        fit_inductive_banked,
+        fit_inductive_fast,
+    )
     from pygat_tpu.utils.padding import round_up
 
     if args.backend:
@@ -103,14 +107,17 @@ def main(argv=None) -> int:
         logger=logger,
     )
     if args.epoch_scan:
-        mesh = None
         if args.mesh:
             from pygat_tpu.parallel.mesh import make_mesh
 
             n_data, n_model = (int(v) for v in args.mesh.split(","))
             mesh = make_mesh(n_data, n_model)
             print(f"mesh: data={n_data} model={n_model}")
-        result = fit_inductive_fast(cfg, data, mesh=mesh, **common)
+            result = fit_inductive_fast(cfg, data, mesh=mesh, **common)
+        else:
+            # single-device: banked loop — shuffle/collate/epochs all on
+            # device, host syncs once per epoch chunk
+            result = fit_inductive_banked(cfg, data, **common)
     else:
         if args.mesh:
             raise SystemExit("--mesh requires --epoch-scan (the classic "

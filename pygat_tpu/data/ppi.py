@@ -201,6 +201,135 @@ class PaddedBatch(NamedTuple):
     batch: GraphBatch
 
 
+# ---------------------------------------------------------------------------
+# Device-resident graph bank: zero host work per epoch (round-3).
+#
+# The host-staged path below (make_batches) rebuilds every block-diagonal
+# batch + its stream layouts in numpy each epoch (~1.5 s/epoch of pure host
+# time on the remote-attached chip). The bank instead pads EVERY graph to
+# one per-graph bound (N_pg, E_pg) ONCE, stacks the padded Graph leaves
+# [G, ...] on device, and assembles a shuffled block-diagonal batch INSIDE
+# jit: a gather over the graph axis plus per-block offset arithmetic.
+#
+# Why the stream layouts survive concatenation: per-graph edge arrays are
+# receiver-sorted and chunk-aligned (E_s is a multiple of 8*EC, N_pg of
+# 128), so stacking B blocks keeps global receiver-sortedness (block k's
+# receivers all precede block k+1's) and chunk alignment; the only fixups
+# are +k*N_pg on node ids, +k*E_s on edge indices and +k*(N_pg/128) on
+# chunk tile ids. Replaces the reference's per-epoch torch DataLoader
+# collate (load_data_ppi.py:71-88 + train_ppi.py:112-120) with a fully
+# on-device equivalent.
+# ---------------------------------------------------------------------------
+
+
+class GraphBank(NamedTuple):
+    """[G, ...]-stacked padded per-graph leaves, resident on device."""
+
+    features: jax.Array  # [G, N_pg, F_pad]
+    labels: jax.Array  # [G, N_pg, C]
+    senders: jax.Array  # [G, E_s] int32, block-local ids
+    receivers: jax.Array  # [G, E_s]
+    edge_weight: jax.Array  # [G, E_s]
+    edge_mask: jax.Array  # [G, E_s] bool
+    row_ptr: jax.Array  # [G, N_pg + 1]
+    node_mask: jax.Array  # [G, N_pg] bool
+    n_node: jax.Array  # [G]
+    n_edge: jax.Array  # [G]
+    col_perm: jax.Array  # [G, E_s]
+    col_ptr: jax.Array  # [G, N_pg + 1]
+    r_local: jax.Array  # [G, E_s]
+    r_chunk: jax.Array  # [G, C]
+    c_slot: jax.Array  # [G, E_s2]
+    c_local: jax.Array  # [G, E_s2]
+    c_chunk: jax.Array  # [G, C2]
+
+    @property
+    def n_graphs(self) -> int:
+        return self.features.shape[0]
+
+    @property
+    def nodes_per_graph(self) -> int:
+        return self.features.shape[1]
+
+
+def bank_bounds(splits: list[list[PPIGraph]]) -> tuple[int, int]:
+    """One per-graph (N_pg, E_pg) across all splits (single compiled
+    shape per batch size)."""
+    n = max(g.num_nodes for graphs in splits for g in graphs)
+    e = max(len(g.senders) for graphs in splits for g in graphs)
+    return round_up(n + 1), round_up(e)
+
+
+def build_bank(graphs: list[PPIGraph], n_pg: int, e_pg: int) -> GraphBank:
+    """Host-side, once per split: pad each graph alone and stack."""
+    from pygat_tpu.graph import build_graph
+
+    f_pad = round_up(PPI_NUM_INPUT_FEATURES)
+    feats, labels, cols = [], [], {f: [] for f in GraphBank._fields[2:]}
+    for g in graphs:
+        gr = build_graph(g.senders, g.receivers, g.weights, g.num_nodes,
+                         n_pad=n_pg, e_pad=e_pg)
+        assert gr.r_local is not None  # n_pg is 128-aligned by round_up
+        for f in cols:
+            cols[f].append(np.asarray(getattr(gr, f)))
+        feats.append(pad_axis(pad_axis(g.features, n_pg, axis=0), f_pad, axis=1))
+        labels.append(pad_axis(g.labels, n_pg, axis=0))
+    return GraphBank(
+        features=jnp.asarray(np.stack(feats)),
+        labels=jnp.asarray(np.stack(labels)),
+        **{f: jnp.asarray(np.stack(v)) for f, v in cols.items()},
+    )
+
+
+def assemble_banked_batch(bank: GraphBank, idx: jax.Array, live: jax.Array):
+    """jit-side block-diagonal collate: (features [B*N_pg, F], Graph,
+    labels [B*N_pg, C]) for member graphs ``idx`` [B]; ``live`` [B] bool
+    masks padding slots (their nodes drop out of every loss/metric — their
+    outputs are computed but never consumed, so duplicated pad graphs
+    contribute nothing)."""
+    from pygat_tpu.graph import Graph
+
+    b = idx.shape[0]
+    n_pg = bank.nodes_per_graph
+    e_s = bank.senders.shape[1]
+    off_n = (jnp.arange(b, dtype=jnp.int32) * n_pg)[:, None]
+    off_e = (jnp.arange(b, dtype=jnp.int32) * e_s)[:, None]
+    off_t = (jnp.arange(b, dtype=jnp.int32) * (n_pg // 128))[:, None]
+
+    take = lambda leaf: jnp.take(leaf, idx, axis=0)
+    flat = lambda x: x.reshape((-1,) + x.shape[2:])
+
+    node_mask = take(bank.node_mask) & live[:, None]
+    edge_mask = take(bank.edge_mask) & live[:, None]
+    row_ptr = jnp.concatenate(
+        [flat(take(bank.row_ptr)[:, :-1] + off_e),
+         jnp.asarray([b * e_s], jnp.int32)]
+    )
+    col_ptr = jnp.concatenate(
+        [flat(take(bank.col_ptr)[:, :-1] + off_e),
+         jnp.asarray([b * e_s], jnp.int32)]
+    )
+    livei = live.astype(jnp.int32)
+    graph = Graph(
+        senders=flat(take(bank.senders) + off_n),
+        receivers=flat(take(bank.receivers) + off_n),
+        edge_weight=flat(take(bank.edge_weight)),
+        edge_mask=flat(edge_mask),
+        row_ptr=row_ptr,
+        node_mask=flat(node_mask),
+        n_node=(take(bank.n_node) * livei).sum(),
+        n_edge=(take(bank.n_edge) * livei).sum(),
+        col_perm=flat(take(bank.col_perm) + off_e),
+        col_ptr=col_ptr,
+        r_local=flat(take(bank.r_local)),
+        r_chunk=flat(take(bank.r_chunk) + off_t),
+        c_slot=flat(take(bank.c_slot) + off_e),
+        c_local=flat(take(bank.c_local)),
+        c_chunk=flat(take(bank.c_chunk) + off_t),
+    )
+    return flat(take(bank.features)), graph, flat(take(bank.labels))
+
+
 def batch_bounds(graphs: list[PPIGraph], batch_size: int) -> tuple[int, int]:
     """Worst-case (N_pad, E_pad) over any batch_size-subset: the sum of the
     largest batch_size graphs (shuffling makes any combination possible)."""

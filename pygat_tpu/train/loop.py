@@ -722,6 +722,245 @@ def fit_inductive_fast(
     )
 
 
+# ---------------------------------------------------------------------------
+# Banked inductive loop (round 3): zero host work per epoch. The fast loop
+# above still rebuilds + restages every epoch's block-diagonal batches on
+# the host (~1.5 s/epoch on a remote-attached chip); here the per-graph
+# padded leaves live on device once (data.ppi.GraphBank) and shuffling,
+# collation AND K epochs of train+val all run inside ONE dispatch.
+# Replaces the reference's per-epoch DataLoader collate
+# (train_ppi.py:112-120) wholesale.
+# ---------------------------------------------------------------------------
+
+
+def _banked_eval_fn(cfg: GATConfig, batch_size: int, n_graphs: int):
+    """Jitted full-split eval over a GraphBank: per-batch (loss, f1, tp,
+    fp, fn) with the fixed in-order batching the host path uses for
+    val/test splits."""
+    from pygat_tpu.data.ppi import assemble_banked_batch
+
+    b = batch_size
+    nb = -(-n_graphs // b)
+    idxs = (jnp.arange(nb * b, dtype=jnp.int32) % n_graphs).reshape(nb, b)
+    lives = (jnp.arange(nb * b) < n_graphs).reshape(nb, b)
+
+    def _loss(params, x, graph, y, key, train):
+        out = apply_gat(params, cfg, x, graph, key, train=train)
+        mask = graph.node_mask
+        loss = bce_with_logits(out, y, mask=mask)
+        return loss, (micro_f1(out, y, mask=mask), out)
+
+    @jax.jit
+    def eval_bank(params, bank):
+        def body(_, sl):
+            idx, lv = sl
+            x, g, y = assemble_banked_batch(bank, idx, lv)
+            loss, (f1, out) = _loss(params, x, g, y, jax.random.PRNGKey(0),
+                                    False)
+            tp, fp, fn = f1_counts(out, y, mask=g.node_mask)
+            return None, (loss, f1, tp, fp, fn)
+
+        return jax.lax.scan(body, None, (idxs, lives))[1]
+
+    return eval_bank, _loss
+
+
+def make_banked_epochs(
+    cfg: GATConfig,
+    tx: optax.GradientTransformation,
+    batch_size: int,
+    n_train_graphs: int,
+    n_val_graphs: int,
+    n_chunk: int,
+):
+    """K inductive epochs per device dispatch, with on-device shuffling
+    (``jax.random.permutation`` of the graph ids per epoch — the
+    reference's DataLoader(shuffle=True) semantics, train_ppi.py:118) and
+    on-device best-params tracking (same policy as
+    make_scanned_epochs_with_best).
+
+    Carry: (state, epoch_i, best_val, best_params, best_epoch).
+    Returns per-epoch (loss_train, f1_train, loss_val, f1_val) means."""
+    from pygat_tpu.data.ppi import assemble_banked_batch
+
+    b = batch_size
+    nb_t = -(-n_train_graphs // b)
+    pad_t = nb_t * b - n_train_graphs
+    lives_t = (jnp.arange(nb_t * b) < n_train_graphs).reshape(nb_t, b)
+    eval_bank, _loss = _banked_eval_fn(cfg, b, n_val_graphs)
+
+    @jax.jit
+    def run(carry, bank_train, bank_val, max_epochs):
+        def epoch(carry, _):
+            state, epoch_i, best_val, best_params, best_epoch = carry
+            rng, kperm = jax.random.split(state.rng)
+            state = state._replace(rng=rng)
+            perm = jax.random.permutation(kperm, n_train_graphs).astype(jnp.int32)
+            if pad_t:
+                perm = jnp.concatenate([perm, perm[:pad_t]])
+            idxs = perm.reshape(nb_t, b)
+
+            def tb(st, sl):
+                idx, lv = sl
+                rng2, key = jax.random.split(st.rng)
+                x, g, y = assemble_banked_batch(bank_train, idx, lv)
+                (loss, (f1, _)), grads = jax.value_and_grad(
+                    _loss, has_aux=True
+                )(st.params, x, g, y, key, True)
+                updates, opt_state = tx.update(grads, st.opt_state, st.params)
+                params = optax.apply_updates(st.params, updates)
+                return (
+                    TrainState(st.step + 1, params, opt_state, rng2),
+                    (loss, f1),
+                )
+
+            state, (ltr, ftr) = jax.lax.scan(tb, state, (idxs, lives_t))
+            lv_, fv_, *_ = eval_bank(state.params, bank_val)
+            loss_val = lv_.mean()
+            improved = (loss_val < best_val) & (epoch_i < max_epochs)
+            best_val = jnp.where(improved, loss_val, best_val)
+            best_epoch = jnp.where(improved, epoch_i, best_epoch)
+            best_params = jax.tree_util.tree_map(
+                lambda nw, od: jnp.where(improved, nw, od),
+                state.params, best_params,
+            )
+            return (state, epoch_i + 1, best_val, best_params, best_epoch), (
+                ltr.mean(), ftr.mean(), loss_val, fv_.mean(),
+            )
+
+        return jax.lax.scan(epoch, carry, None, length=n_chunk)
+
+    return run
+
+
+def fit_inductive_banked(
+    cfg: GATConfig,
+    data,  # pygat_tpu.data.ppi.PPIData
+    *,
+    batch_size: int,
+    lr: float,
+    weight_decay: float,
+    epochs: int,
+    patience: int,
+    seed: int = 72,
+    epoch_chunk: int = 10,
+    checkpoint_dir: str | None = None,
+    dataset_tag: str = "ppi",
+    logger: TrainLogger | None = None,
+    log_every: int = 10,
+    init_params: Any = None,
+    resume: bool = False,
+) -> FitResult:
+    """fit_inductive with zero per-epoch host work: the host syncs once per
+    ``epoch_chunk`` epochs (early stopping can overshoot by up to
+    epoch_chunk-1 epochs of extra compute, never changing the selected
+    model — same contract as fit_transductive_fast). Checkpoints at chunk
+    boundaries carry the val-loss history + best bookkeeping for exact
+    resume."""
+    from pygat_tpu.data.ppi import bank_bounds, build_bank
+
+    logger = logger or TrainLogger()
+    tx = make_optimizer(lr, weight_decay)
+    key = jax.random.PRNGKey(seed)
+    key, init_key = jax.random.split(key)
+    params = init_params if init_params is not None else init_gat(init_key, cfg)
+    state = init_state(params, tx, key)
+
+    n_pg, e_pg = bank_bounds([data.train, data.valid, data.test])
+    bank_tr = build_bank(data.train, n_pg, e_pg)
+    bank_va = build_bank(data.valid, n_pg, e_pg)
+    bank_te = build_bank(data.test, n_pg, e_pg)
+
+    run = make_banked_epochs(cfg, tx, batch_size, len(data.train),
+                             len(data.valid), epoch_chunk)
+    eval_test, _ = _banked_eval_fn(cfg, batch_size, len(data.test))
+
+    carry = (state, jnp.asarray(0, jnp.int32), jnp.asarray(jnp.inf),
+             state.params, jnp.asarray(-1, jnp.int32))
+    history: list[float] = []
+    if resume and checkpoint_dir:
+        found = ckpt.latest(checkpoint_dir, dataset_tag)
+        if found is not None:
+            _, path = found
+            state, header = ckpt.restore(path, like=state)
+            history = [float(v) for v in header.get("history", [])]
+            best_val = float(header.get("best", np.inf))
+            best_epoch = int(header.get("best_epoch", -1))
+            best_params = state.params
+            bfound = ckpt.latest(checkpoint_dir, dataset_tag + "-best")
+            if bfound is not None and best_epoch >= 0:
+                bstate, _ = ckpt.restore(bfound[1], like=state)
+                best_params = bstate.params
+            carry = (state, jnp.asarray(len(history), jnp.int32),
+                     jnp.asarray(best_val), best_params,
+                     jnp.asarray(best_epoch, jnp.int32))
+            logger.log("resume", epoch=len(history) - 1, best=best_val,
+                       path=path)
+
+    t0 = time.time()
+    stopped = False
+    while len(history) < epochs and not stopped:
+        carry, metrics = run(carry, bank_tr, bank_va,
+                             jnp.asarray(epochs, jnp.int32))
+        metrics_h = jax.device_get(metrics)
+        chunk_tr, chunk_ftr, chunk_vals, chunk_fv = (
+            [float(v) for v in m] for m in metrics_h
+        )
+        for j, lv in enumerate(chunk_vals):
+            epoch_idx = len(history)
+            history.append(lv)
+            if epoch_idx % log_every == 0:
+                logger.log("ppi_epoch", epoch=epoch_idx,
+                           loss_train=chunk_tr[j], f1_train=chunk_ftr[j],
+                           loss_val=lv, f1_val=chunk_fv[j],
+                           time=time.time() - t0)
+                t0 = time.time()
+            since_best = epoch_idx - int(np.argmin(history[: epoch_idx + 1]))
+            if since_best >= patience:
+                stopped = True
+                break
+            if epoch_idx + 1 >= epochs:
+                break
+        if checkpoint_dir:
+            be = int(carry[4])
+            ckpt.save(checkpoint_dir, len(history) - 1, dataset_tag, carry[0],
+                      extra={"best": float(carry[2]), "best_epoch": be,
+                             "history": history})
+            ckpt.rotate_below_best(checkpoint_dir, dataset_tag,
+                                   len(history) - 1)
+            if be >= 0:
+                ckpt.save(checkpoint_dir, be, dataset_tag + "-best",
+                          carry[0]._replace(params=carry[3]))
+                for e_old, p_old in ckpt.list_checkpoints(
+                    checkpoint_dir, dataset_tag + "-best"
+                ):
+                    if e_old != be:
+                        import os as _os
+
+                        _os.remove(p_old)
+
+    state, _, best_val, best_params, best_epoch = carry
+    final_state = state._replace(params=best_params)
+    if checkpoint_dir:
+        ckpt.save(checkpoint_dir, int(best_epoch), dataset_tag + "-best",
+                  final_state)
+
+    losses_t, _, tps, fps, fns = eval_test(best_params, bank_te)
+    test_loss = float(jnp.mean(losses_t))
+    tp, fp, fn = float(jnp.sum(tps)), float(jnp.sum(fps)), float(jnp.sum(fns))
+    test_f1 = 2 * tp / max(2 * tp + fp + fn, 1.0)
+    logger.log("test", loss=test_loss, accuracy=test_f1)
+    return FitResult(
+        best_epoch=int(best_epoch),
+        best_val_loss=float(best_val),
+        test_loss=test_loss,
+        test_acc=test_f1,
+        epochs_run=len(history),
+        state=final_state,
+        history=history,
+    )
+
+
 def make_scanned_epochs(
     cfg: GATConfig, tx: optax.GradientTransformation, n_epochs: int, tiles=None,
     fastmode: bool = False, segment_impl: str | None = None,

@@ -122,6 +122,123 @@ def test_inductive_fit_smoke(tmp_path):
     assert kept == sorted({res.best_epoch, res.epochs_run - 1}), kept
 
 
+def _synth_ppi():
+    """Tiny multi-graph PPIData shared by the loop tests."""
+    import scipy.sparse as sp
+
+    from pygat_tpu.data.ppi import PPIData
+    from pygat_tpu.data.preprocess import normalize_adj
+    from pygat_tpu.data.synthetic import planted_partition_graph
+
+    rng = np.random.default_rng(0)
+    R = rng.standard_normal((16, 6)).astype(np.float32)
+
+    def mk(n, name):
+        s, r, _ = planted_partition_graph(n, 3, name, avg_degree=6)
+        adj = sp.coo_matrix((np.ones(len(s), np.float32), (r, s)), shape=(n, n)).tocsr()
+        adj.data[:] = 1.0
+        adj = normalize_adj(adj + sp.eye(n, format="csr", dtype=np.float32)).tocoo()
+        feats = rng.standard_normal((n, 16)).astype(np.float32)
+        labels = (feats @ R > 0.5).astype(np.float32)
+        return PPIGraph(feats, labels, adj.col.astype(np.int64),
+                        adj.row.astype(np.int64), adj.data.astype(np.float32), n)
+
+    return PPIData(
+        train=[mk(40, f"t{i}") for i in range(4)],
+        valid=[mk(30, "v0"), mk(35, "v1")],
+        test=[mk(30, "x0"), mk(25, "x1")],
+        synthetic_parts=("all",),
+    )
+
+
+def test_banked_assembly_matches_block_diag():
+    """Device-side bank collate (assemble_banked_batch) == host block_diag:
+    same layer outputs on every real row, including with a dead pad slot."""
+    import jax
+    import jax.numpy as jnp
+
+    from pygat_tpu.data.ppi import assemble_banked_batch, bank_bounds, build_bank
+    from pygat_tpu.graph import block_diag
+    from pygat_tpu.models.gat import GATConfig, apply_gat, init_gat
+    from pygat_tpu.ops import segment as seg
+
+    data = _synth_ppi()
+    n_pg, e_pg = bank_bounds([data.train])
+    bank = build_bank(data.train, n_pg, e_pg)
+
+    cfg = GATConfig(nlayers=2, nheads=(2, 2), nfeats=(128, 16, 6), dropout=0.0,
+                    alpha=0.2, layer_type="GAT_sparse", skip_connection=True)
+    params = init_gat(jax.random.PRNGKey(0), cfg)
+
+    members = [data.train[3], data.train[1]]
+    x, g, y = assemble_banked_batch(
+        bank, jnp.asarray([3, 1], jnp.int32), jnp.asarray([True, True]))
+    gh = block_diag([(m.senders, m.receivers, m.weights, m.num_nodes)
+                     for m in members], n_pad=2 * n_pg).graph
+    fh = np.zeros((2 * n_pg, 128), np.float32)
+    n0, n1 = members[0].num_nodes, members[1].num_nodes
+    fh[:n0] = np.asarray(bank.features[3][:n0])
+    fh[n0:n0 + n1] = np.asarray(bank.features[1][:n1])
+
+    # a dead pad slot (live=False) must not change the live block's output
+    x2, g2, _ = assemble_banked_batch(
+        bank, jnp.asarray([3, 1], jnp.int32), jnp.asarray([True, False]))
+
+    prev = seg._STREAM_PRECISION
+    seg._STREAM_PRECISION = "high"
+    try:
+        with seg.use_impl("stream"):
+            ob = apply_gat(params, cfg, x, g, jax.random.PRNGKey(1), train=False)
+            oh = apply_gat(params, cfg, jnp.asarray(fh), gh,
+                           jax.random.PRNGKey(1), train=False)
+            ob2 = apply_gat(params, cfg, x2, g2, jax.random.PRNGKey(1),
+                            train=False)
+    finally:
+        seg._STREAM_PRECISION = prev
+    np.testing.assert_allclose(np.asarray(ob[:n0]), np.asarray(oh[:n0]),
+                               atol=1e-4)
+    np.testing.assert_allclose(np.asarray(ob[n_pg:n_pg + n1]),
+                               np.asarray(oh[n0:n0 + n1]), atol=1e-4)
+    # (atol: dropping block 1's nodes shifts the global softmax bound, a
+    # pure exponent re-scaling that moves f32 rounding by ~1e-5)
+    np.testing.assert_allclose(np.asarray(ob2[:n0]), np.asarray(ob[:n0]),
+                               atol=5e-5)
+    assert not bool(g2.node_mask[n_pg:].any())
+    assert int(g2.n_node) == n0
+
+
+def test_inductive_banked_trains_and_resumes(tmp_path):
+    """fit_inductive_banked (on-device shuffle/collate, K epochs/dispatch)
+    learns the synthetic task and resumes exactly from a chunk
+    checkpoint."""
+    import os
+
+    from pygat_tpu.models.gat import GATConfig
+    from pygat_tpu.train.logging import TrainLogger
+    from pygat_tpu.train.loop import fit_inductive_banked
+
+    data = _synth_ppi()
+    cfg = GATConfig(nlayers=2, nheads=(2, 2), nfeats=(128, 16, 6), dropout=0.0,
+                    alpha=0.2, layer_type="GAT_sparse", skip_connection=True)
+    kw = dict(batch_size=2, lr=0.01, weight_decay=0.0, patience=40,
+              epoch_chunk=5, logger=TrainLogger(stream=open(os.devnull, "w")))
+    res = fit_inductive_banked(cfg, data, epochs=30,
+                               checkpoint_dir=str(tmp_path), **kw)
+    assert np.isfinite(res.history).all()
+    assert res.test_acc > 0.5, f"micro-F1 too low: {res.test_acc}"
+    assert res.epochs_run == 30
+
+    # resume: continue to 40 epochs from the chunk checkpoint; the first 30
+    # history entries are preserved verbatim
+    res2 = fit_inductive_banked(cfg, data, epochs=40,
+                                checkpoint_dir=str(tmp_path), resume=True,
+                                **kw)
+    assert res2.epochs_run == 40
+    np.testing.assert_allclose(np.asarray(res2.history[:30]),
+                               np.asarray(res.history), rtol=0)
+    assert res2.best_val_loss <= res.best_val_loss + 1e-12
+
+
 def test_inductive_fast_matches_classic(tmp_path):
     """fit_inductive_fast (scan-over-stacked-batches, one dispatch/epoch)
     reproduces fit_inductive exactly: same batches, same math, dropout off."""
