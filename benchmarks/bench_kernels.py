@@ -93,6 +93,7 @@ def main() -> int:
     import jax.numpy as jnp
     import numpy as np
 
+    from pygat_tpu.ops.panel import build_panel_layout, panel_spmm_graph
     from pygat_tpu.ops.sddmm import sddmm_graph
     from pygat_tpu.ops.spmm import spmm, spmm_graph
 
@@ -116,11 +117,36 @@ def main() -> int:
     # graph/operand arrays are passed as jit ARGUMENTS — closing over them
     # embeds multi-MB constants into the program (slow lowering; the remote
     # compile endpoint rejects >~40MB bodies outright)
+    import sys as _sys
+
+    lay = build_panel_layout(g)
+    print(f"[bench_kernels] panel layout: P={lay.n_panels} "
+          f"overflow={lay.n_overflow} ({lay.overflow_frac:.1%})",
+          file=_sys.stderr, flush=True)
+
+    from pygat_tpu.ops.panel import panel_spmm
+
+    def spmm_panel(mode):
+        # layout arrays ride as jit ARGUMENTS (g_idx is ~E*4 bytes); only
+        # the static panel count is closed over
+        interp = jax.default_backend() != "tpu"
+
+        def fn(v, d, gg, pt, gi, ov):
+            return panel_spmm(v, d, pt, gi, ov, gg.senders, gg.receivers,
+                              gg.edge_mask, gg.r_local, gg.r_chunk,
+                              lay.n_panels, "fastest", interp, mode)
+        return fn
+
+    lay_args = (lay.panel_tiles, lay.g_idx, lay.overflow_edges)
     cases = [
         ("spmm-scatter", t_spmm,
          lambda v, d, gg: spmm(v, d, gg.senders, gg.receivers, gg.edge_mask),
          (vals, dense, g)),
         ("spmm-stream", t_spmm, spmm_graph, (vals, dense, g)),
+        ("spmm-panel-onehot", t_spmm, spmm_panel("onehot"),
+         (vals, dense, g) + lay_args),
+        ("spmm-panel-take", t_spmm, spmm_panel("take"),
+         (vals, dense, g) + lay_args),
         ("spmm-stream-grad", 3 * t_spmm, spmm_grad, (vals, dense, g)),
         ("sddmm", t_sddmm, sddmm_graph, (dense, dense2, g)),
     ]
