@@ -74,7 +74,13 @@ def main() -> int:
     p.add_argument("--models", default="GAT_sparse,GATv2_sparse")
     p.add_argument("--epochs", type=int, default=100)
     p.add_argument("--reps", type=int, default=3)
+    p.add_argument("--fused", default="auto", choices=("auto", "on", "off"),
+                   help="fused attention kernel (default auto: on whenever "
+                        "the stream segment impl is active)")
     a = p.parse_args()
+    from pygat_tpu.ops.fused_stream import set_fused_attention
+
+    set_fused_attention(a.fused)
     for ds in a.datasets.split(","):
         for model in a.models.split(","):
             try:

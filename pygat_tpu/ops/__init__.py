@@ -28,3 +28,13 @@ from pygat_tpu.ops.stream import (  # noqa: F401
     stream_segment_sum,
 )
 from pygat_tpu.ops.dispatch import get_backend, set_backend  # noqa: F401
+from pygat_tpu.ops.fused_stream import (  # noqa: F401
+    fused_v1_attention,
+    fused_v2_attention,
+    set_fused_attention,
+)
+from pygat_tpu.ops.panel import (  # noqa: F401
+    build_panel_layout,
+    panel_spmm,
+    panel_spmm_graph,
+)
