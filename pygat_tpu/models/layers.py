@@ -463,12 +463,27 @@ def gat_v1_sparse_heads(
         m_src = jnp.where(jnp.isfinite(m_src), m_src, 0.0)
         bound = jax.lax.stop_gradient(
             leaky_relu(f_dst_n + m_src[None, :], alpha))
+        interp = _seg._stream_interpret()
+        if use_drop and _fs.kernel_rng_enabled(interp):
+            # attention mask drawn inside the kernel (per-chunk TPU PRNG
+            # seeds) — no [E, H] mask tensor read from HBM
+            seed2 = jax.lax.bitcast_convert_type(
+                jax.random.bits(k_att, (2,), jnp.uint32), jnp.int32)
+            agg, den = _fs.fused_v1_attention_rng(
+                wh, f_dst_n, bound, params.a[:, f_out:], seed2,
+                graph.senders, graph.receivers, graph.r_local,
+                graph.r_chunk, graph.c_slot, graph.c_local, graph.c_chunk,
+                alpha, keep, _seg._STREAM_PRECISION, interp,
+            )
+            den = jnp.where(den > DEN_MIN, den, 1.0)
+            out = agg.reshape(n, n_heads, f_out) / den[:, :, None]
+            return _heads_tail(out, params, h, x_h, concat)
         keepq = _att_keepq(k_att, keep, e_pad, n_heads, use_drop)
         agg, den = _fs.fused_v1_attention(
             wh, f_dst_n, bound, params.a[:, f_out:], keepq,
             graph.senders, graph.receivers, graph.r_local, graph.r_chunk,
             graph.c_slot, graph.c_local, graph.c_chunk,
-            alpha, _seg._STREAM_PRECISION, _seg._stream_interpret(),
+            alpha, _seg._STREAM_PRECISION, interp,
         )
         den = jnp.where(den > DEN_MIN, den, 1.0)
         out = agg.reshape(n, n_heads, f_out) / den[:, :, None]
