@@ -124,6 +124,22 @@ def main() -> int:
           f"overflow={lay.n_overflow} ({lay.overflow_frac:.1%})",
           file=_sys.stderr, flush=True)
 
+    from pygat_tpu.ops.corner import flatten_plan
+    from pygat_tpu.ops.large import _spmm_corner_op, plan_csc_to_csr
+
+    plans = plan_csc_to_csr(g)
+    arr_f, ps_f = flatten_plan(plans.fwd)
+    arr_i, ps_i = flatten_plan(plans.inv)
+    print(f"[bench_kernels] corner plans: fwd spans "
+          f"{[cp.p for cp in plans.fwd.passes]} inv "
+          f"{[cp.p for cp in plans.inv.passes]}", file=_sys.stderr, flush=True)
+    corner_op = _spmm_corner_op(ps_f, ps_i, "take", "fastest",
+                                jax.default_backend() != "tpu")
+
+    def spmm_corner_fn(v, d, gg, *arrs):
+        return corner_op(v, d, gg.edge_mask, gg.r_local, gg.r_chunk,
+                         gg.c_local, gg.c_chunk, *arrs)
+
     from pygat_tpu.ops.panel import panel_spmm
 
     def spmm_panel(mode):
@@ -147,6 +163,8 @@ def main() -> int:
          (vals, dense, g) + lay_args),
         ("spmm-panel-take", t_spmm, spmm_panel("take"),
          (vals, dense, g) + lay_args),
+        ("spmm-corner", t_spmm, spmm_corner_fn,
+         (vals, dense, g) + arr_f + arr_i),
         ("spmm-stream-grad", 3 * t_spmm, spmm_grad, (vals, dense, g)),
         ("sddmm", t_sddmm, sddmm_graph, (dense, dense2, g)),
     ]

@@ -38,3 +38,14 @@ from pygat_tpu.ops.panel import (  # noqa: F401
     panel_spmm,
     panel_spmm_graph,
 )
+from pygat_tpu.ops.corner import (  # noqa: F401
+    corner_permute,
+    permute_rows,
+    plan_corner_turn,
+    plan_pair,
+)
+from pygat_tpu.ops.large import (  # noqa: F401
+    plan_csc_to_csr,
+    spmm_corner_graph,
+    stream_expand,
+)
