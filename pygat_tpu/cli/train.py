@@ -5,7 +5,7 @@ per-dataset presets at train.py:47-87), plus TPU-specific knobs:
 
     python -m pygat_tpu.cli.train --dataset cora --model GAT_sparse
 
-New flags: --backend {xla,pallas}, --platform, --checkpoint-dir, --jsonl,
+New flags: --backend {stream,xla}, --platform, --checkpoint-dir, --jsonl,
 --log-every, --no-checkpoint.
 """
 
@@ -28,17 +28,23 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--dataset", type=str, default="cora",
                    choices=["cora", "pubmed", "citeseer"])
     p.add_argument("--model", type=str, default="GAT_sparse",
-                   choices=["GAT_sparse", "GAT", "GATv2", "GATv2_sparse"])
+                   choices=["GAT_sparse", "GAT", "GATv2", "GATv2_sparse"],
+                   help="GAT/GATv2 are the DENSE parity paths: they match "
+                        "the reference exactly (incl. training datasets the "
+                        "reference OOMs on) but run the O(N^2) attention — "
+                        "an order of magnitude slower than the *_sparse "
+                        "models; use the sparse variants for speed")
     p.add_argument("--seed", type=int, default=72)
     p.add_argument("--epochs", type=int, default=10000)
     p.add_argument("--patience", type=int, default=100)
     # --- new, TPU-native ---
     p.add_argument("--backend", type=str, default=None,
-                   choices=["stream", "xla", "pallas"],
-                   help="sparse kernel backend: stream = Pallas "
-                        "stream-scatter segment sums (TPU default), xla = "
-                        "scatter lowering, pallas = round-1 fused BCSR "
-                        "kernel")
+                   choices=["stream", "xla"],
+                   help="sparse kernel backend: stream = fused Pallas "
+                        "attention + stream-scatter segment sums (TPU "
+                        "default), xla = scatter lowering (the round-1 "
+                        "BCSR kernel is comparison-only; see "
+                        "benchmarks/bench_epoch.py)")
     p.add_argument("--platform", type=str, default=None,
                    help="force a JAX platform (e.g. cpu)")
     p.add_argument("--checkpoint-dir", type=str, default="checkpoints")
@@ -53,8 +59,8 @@ def build_parser() -> argparse.ArgumentParser:
                         "moments, RNG key, best-val bookkeeping)")
     p.add_argument("--reorder", action="store_true", default=False,
                    help="RCM node relabeling (isomorphic; packs neighborhoods "
-                        "into few 128-node tiles — recommended with "
-                        "--backend pallas)")
+                        "into few 128-node tiles — what the panel-gather "
+                        "path needs on million-node graphs)")
     p.add_argument("--mesh", type=str, default=None, metavar="D,M",
                    help="multi-chip SPMD: 'data,model' mesh sizes (e.g. 4,2) "
                         "— node/edge arrays shard on data, head-stacked "

@@ -34,7 +34,7 @@ def build_parser() -> argparse.ArgumentParser:
                    help="Number of graphs that are passed during training")
     # --- new, TPU-native ---
     p.add_argument("--backend", type=str, default=None,
-                   choices=["stream", "xla", "pallas"])
+                   choices=["stream", "xla"])
     p.add_argument("--platform", type=str, default=None)
     p.add_argument("--checkpoint-dir", type=str, default="checkpoints")
     p.add_argument("--no-checkpoint", action="store_true", default=False)
