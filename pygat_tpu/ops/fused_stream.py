@@ -631,3 +631,110 @@ def _v2_bwd(alpha, precision, interpret, res, cts):
 
 
 fused_v2_attention.defvjp(_v2_fwd, _v2_bwd)
+
+
+# ---------------------------------------------------------------------------
+# v2, split operands (ring path): the receiver-side whi is the LOCAL node
+# block while the sender-side logit (whj) and message (whi) operands come
+# from the ROTATING ring buffers — three distinct arrays where the
+# single-chip op has two. Kernel unchanged (_make_v2_kernel already takes
+# gj / gi / wiub separately); only the wrapper + VJP split differs.
+# Reference math: layers.py:278-296 generalized ring-wise.
+# ---------------------------------------------------------------------------
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(13, 14, 15))
+def fused_v2_attention_parts(wi_local, ub, wi_buf, wj_buf, a, keepq,
+                             senders, receivers, r_local, r_chunk,
+                             c_slot, c_local, c_chunk,
+                             alpha: float, precision: str, interpret: bool):
+    """(out [n_local, HF], den [n_local, H]) for one ring hop:
+    ``wi_local``/``ub`` live on the receiver shard, ``wi_buf``/``wj_buf``
+    are the rotated sender blocks; indices are block-local."""
+    n_pad, hf = wi_local.shape
+    h, f = a.shape
+    e = senders.shape[0]
+    two_limb = precision != "fastest"
+    wdt = _win_dtype(precision)
+
+    gj = jnp.take(wj_buf, senders, axis=0).astype(wdt)
+    gi = jnp.take(wi_buf, senders, axis=0).astype(wdt)
+    wiub = jnp.concatenate([wi_local, ub], axis=1)
+    abd = _block_diag_a(a.astype(wdt))
+    exp_bd = _expand_bd(h, f)
+    local8 = r_local.reshape(e // EC // 8, 8, EC)
+
+    out, den = _grid_call(
+        _make_v2_kernel(alpha, h, hf, two_limb, interpret),
+        r_chunk,
+        [_window_spec(hf), _window_spec(hf), _window_spec(h)],
+        [gj.reshape(e // EC, EC, hf), gi.reshape(e // EC, EC, hf),
+         keepq.reshape(e // EC, EC, h)],
+        [_tile_spec(hf + h)], [wiub],
+        [_const_spec(hf, h), _const_spec(h, hf)], [abd, exp_bd],
+        local8, n_pad, hf, h, interpret,
+    )
+    return out, den
+
+
+def _v2p_fwd(wi_local, ub, wi_buf, wj_buf, a, keepq, senders, receivers,
+             r_local, r_chunk, c_slot, c_local, c_chunk, alpha, precision,
+             interpret):
+    out = fused_v2_attention_parts(
+        wi_local, ub, wi_buf, wj_buf, a, keepq, senders, receivers,
+        r_local, r_chunk, c_slot, c_local, c_chunk, alpha, precision,
+        interpret)
+    res = (wi_local, ub, wi_buf, wj_buf, a, keepq, senders, receivers,
+           r_local, r_chunk, c_slot, c_local, c_chunk)
+    return out, res
+
+
+def _v2p_bwd(alpha, precision, interpret, res, cts):
+    from pygat_tpu.ops.stream import (
+        stream_segment_sum,
+        stream_sender_segment_sum,
+    )
+
+    (wi_local, ub, wi_buf, wj_buf, a, keepq, senders, receivers,
+     r_local, r_chunk, c_slot, c_local, c_chunk) = res
+    g_out, g_den = cts
+    n_pad, hf = wi_local.shape
+    h, f = a.shape
+    prec = "high" if precision != "fastest" else "fastest"
+
+    gj = jnp.take(wj_buf, senders, axis=0)
+    gi = jnp.take(wi_buf, senders, axis=0)
+    wi_e = jnp.take(wi_local, receivers, axis=0)
+    raw = wi_e + gj
+    pre = _leaky(raw, alpha)
+    abd = _block_diag_a(a)
+    exp_bd = _expand_bd(h, f)
+    live = (r_local < TILE)[:, None]
+    logits = pre @ abd
+    num = jnp.where(live, jnp.exp(logits - jnp.take(ub, receivers, axis=0)),
+                    0.0)
+    qnum = num * keepq
+
+    dmsg = jnp.take(g_out, receivers, axis=0)
+    dden = jnp.take(g_den, receivers, axis=0)
+    dqnum = (dmsg * gi) @ exp_bd.T
+    dnum = dqnum * keepq + dden
+    dlogits = dnum * num
+    dpre = (dlogits @ abd.T) * jnp.where(raw >= 0, 1.0, alpha)
+
+    # receiver side: d wi_local from the logit path
+    dwi_local = stream_segment_sum(dpre, receivers, r_local, r_chunk,
+                                   n_pad, prec, interpret)
+    # sender side: ONE combined reduction, then split to the two buffers
+    dmsg_s = dmsg * (qnum @ exp_bd)
+    both = jnp.concatenate([dpre, dmsg_s], axis=1)
+    red = stream_sender_segment_sum(both, senders, c_slot, c_local,
+                                    c_chunk, None, n_pad, prec, interpret)
+    dwj_buf = red[:, :hf]
+    dwi_buf = red[:, hf:]
+    da = jnp.sum(pre * (dlogits @ exp_bd), axis=0).reshape(h, f)
+    return (dwi_local, None, dwi_buf, dwj_buf, da, None, None, None, None,
+            None, None, None, None)
+
+
+fused_v2_attention_parts.defvjp(_v2p_fwd, _v2p_bwd)

@@ -224,6 +224,21 @@ def _part_use_stream(part: EdgePartition) -> bool:
     return part.has_stream and _seg._stream_enabled()
 
 
+def _part_use_fused(part: EdgePartition) -> bool:
+    """Fused per-hop attention kernels inside the ring (the multi-chip
+    twin of models/layers' fused branch): per-edge logits/exp/dropout/
+    messages/scatter in ONE Pallas call per (hop) block."""
+    from pygat_tpu.ops import fused_stream as _fs
+    from pygat_tpu.ops import segment as _seg
+
+    if not part.has_stream:
+        return False
+    mode = _fs._fused_mode()
+    if mode == "off":
+        return False
+    return True if mode == "on" else _seg._stream_enabled()
+
+
 @partial(jax.custom_vjp, nondiff_argnums=(4, 5))
 def block_recv_reduce(data, rl, loc, ct, n_local: int, use_stream: bool):
     """Per-receiver segment sum of block ``data`` [E, L] -> [n_local, L]."""
@@ -345,6 +360,7 @@ def ring_gat_attention(
     hf = whf.shape[1]
     f = hf // h
     use_stream = _part_use_stream(part)
+    use_fused = _part_use_fused(part)
     if att_keep is None:
         att_keep = jnp.ones(tuple(part.edge_mask.shape) + (1,), jnp.float32)
     loc_a, chk_a, ss_a, sl2_a, sc_a = _dummy_stream_fields(part)
@@ -369,9 +385,8 @@ def ring_gat_attention(
         m_loc = jnp.max(jnp.where(nm[:, None], f_src, -jnp.inf), axis=0)
         m_src = lax.pmax(m_loc, DATA_AXIS)
         m_src = jnp.where(jnp.isfinite(m_src), m_src, 0.0)
-        fdb = jnp.concatenate(
-            [fd, lax.stop_gradient(_leaky(fd + m_src[None, :], alpha))], axis=1
-        )  # [n_local, 2H]: logit component ++ bound
+        bound = lax.stop_gradient(_leaky(fd + m_src[None, :], alpha))
+        fdb = jnp.concatenate([fd, bound], axis=1)  # [n_local, 2H]
 
         acc = jnp.zeros((n_local, hf + h), jnp.float32)
         w_buf = w
@@ -387,22 +402,38 @@ def ring_gat_attention(
             sck_k = jnp.take(sck, src_shard, axis=0)
             keep_k = jnp.take(keep, src_shard, axis=0)  # [E, H or 1]
 
-            w_g = block_take_senders(w_buf, sl_k, ss_k, sloc_k, sck_k,
-                                     n_local, use_stream)  # [E, HF]
-            l_src = (w_g.reshape(-1, h, f) * asrc[None]).sum(-1)  # [E, H]
-            fb_e = block_take_receivers(fdb, rl_k, loc_k, ct_k,
-                                        n_local, use_stream)  # [E, 2H]
-            logits = _leaky(fb_e[:, :h] + l_src, alpha)
-            num = jnp.where(em_k[:, None],
-                            jnp.exp(logits - fb_e[:, h:]), 0.0)  # [E, H]
-            qnum = num * keep_k
-            msgs = jnp.concatenate(
-                [(w_g.reshape(-1, h, f) * qnum[:, :, None]).reshape(-1, hf),
-                 num],
-                axis=1,
-            )  # [E, HF + H]
-            acc = acc + block_recv_reduce(msgs, rl_k, loc_k, ct_k,
-                                          n_local, use_stream)
+            if use_fused:
+                # per-hop fused attention: the whole per-edge pipeline in
+                # ONE Pallas call on this block (ops/fused_stream.py); the
+                # bound-shifted hops accumulate (agg, den) additively
+                from pygat_tpu.ops.fused_stream import fused_v1_attention
+
+                precision, interpret = _stream_args()
+                keepq = jnp.broadcast_to(keep_k,
+                                         (keep_k.shape[0], h))
+                agg, dn = fused_v1_attention(
+                    w_buf, fd, bound, asrc, keepq, sl_k, rl_k, loc_k,
+                    ct_k, ss_k, sloc_k, sck_k, alpha, precision, interpret,
+                )
+                acc = acc + jnp.concatenate([agg, dn], axis=1)
+            else:
+                w_g = block_take_senders(w_buf, sl_k, ss_k, sloc_k, sck_k,
+                                         n_local, use_stream)  # [E, HF]
+                l_src = (w_g.reshape(-1, h, f) * asrc[None]).sum(-1)
+                fb_e = block_take_receivers(fdb, rl_k, loc_k, ct_k,
+                                            n_local, use_stream)  # [E, 2H]
+                logits = _leaky(fb_e[:, :h] + l_src, alpha)
+                num = jnp.where(em_k[:, None],
+                                jnp.exp(logits - fb_e[:, h:]), 0.0)
+                qnum = num * keep_k
+                msgs = jnp.concatenate(
+                    [(w_g.reshape(-1, h, f)
+                      * qnum[:, :, None]).reshape(-1, hf),
+                     num],
+                    axis=1,
+                )  # [E, HF + H]
+                acc = acc + block_recv_reduce(msgs, rl_k, loc_k, ct_k,
+                                              n_local, use_stream)
             if k + 1 < d:
                 perm = [(i, (i + 1) % d) for i in range(d)]
                 w_buf = lax.ppermute(w_buf, DATA_AXIS, perm)
@@ -467,6 +498,7 @@ def ring_gat_attention_v2(
     h, f = a.shape
     hf = h * f
     use_stream = _part_use_stream(part)
+    use_fused = _part_use_fused(part)
     if att_keep is None:
         att_keep = jnp.ones(tuple(part.edge_mask.shape) + (1,), jnp.float32)
     loc_a, chk_a, ss_a, sl2_a, sc_a = _dummy_stream_fields(part)
@@ -511,25 +543,41 @@ def ring_gat_attention_v2(
             sck_k = jnp.take(sck, src_shard, axis=0)
             keep_k = jnp.take(keep, src_shard, axis=0)
 
-            wj_g = block_take_senders(wj_buf, sl_k, ss_k, sloc_k, sck_k,
-                                      n_local, use_stream)  # [E, HF]
-            wiub_e = block_take_receivers(
-                jnp.concatenate([wi, ub], axis=1), rl_k, loc_k, ct_k,
-                n_local, use_stream)  # [E, HF + H]
-            pre = _leaky(wiub_e[:, :hf] + wj_g, alpha)  # [E, HF]
-            logits = (pre.reshape(-1, h, f) * av[None]).sum(-1)  # [E, H]
-            num = jnp.where(em_k[:, None],
-                            jnp.exp(logits - wiub_e[:, hf:]), 0.0)
-            qnum = num * keep_k
-            wi_g = block_take_senders(wi_buf, sl_k, ss_k, sloc_k, sck_k,
-                                      n_local, use_stream)  # [E, HF]
-            msgs = jnp.concatenate(
-                [(wi_g.reshape(-1, h, f) * qnum[:, :, None]).reshape(-1, hf),
-                 num],
-                axis=1,
-            )
-            acc = acc + block_recv_reduce(msgs, rl_k, loc_k, ct_k,
-                                          n_local, use_stream)
+            if use_fused:
+                # per-hop fused v2 kernel (split operands: local wi/ub,
+                # rotated wi/wj buffers — ops/fused_stream.py)
+                from pygat_tpu.ops.fused_stream import (
+                    fused_v2_attention_parts,
+                )
+
+                precision, interpret = _stream_args()
+                keepq = jnp.broadcast_to(keep_k, (keep_k.shape[0], h))
+                agg, dn = fused_v2_attention_parts(
+                    wi, ub, wi_buf, wj_buf, av, keepq, sl_k, rl_k, loc_k,
+                    ct_k, ss_k, sloc_k, sck_k, alpha, precision, interpret,
+                )
+                acc = acc + jnp.concatenate([agg, dn], axis=1)
+            else:
+                wj_g = block_take_senders(wj_buf, sl_k, ss_k, sloc_k, sck_k,
+                                          n_local, use_stream)  # [E, HF]
+                wiub_e = block_take_receivers(
+                    jnp.concatenate([wi, ub], axis=1), rl_k, loc_k, ct_k,
+                    n_local, use_stream)  # [E, HF + H]
+                pre = _leaky(wiub_e[:, :hf] + wj_g, alpha)  # [E, HF]
+                logits = (pre.reshape(-1, h, f) * av[None]).sum(-1)  # [E, H]
+                num = jnp.where(em_k[:, None],
+                                jnp.exp(logits - wiub_e[:, hf:]), 0.0)
+                qnum = num * keep_k
+                wi_g = block_take_senders(wi_buf, sl_k, ss_k, sloc_k, sck_k,
+                                          n_local, use_stream)  # [E, HF]
+                msgs = jnp.concatenate(
+                    [(wi_g.reshape(-1, h, f)
+                      * qnum[:, :, None]).reshape(-1, hf),
+                     num],
+                    axis=1,
+                )
+                acc = acc + block_recv_reduce(msgs, rl_k, loc_k, ct_k,
+                                              n_local, use_stream)
             if k + 1 < d:
                 perm = [(i, (i + 1) % d) for i in range(d)]
                 wi_buf = lax.ppermute(wi_buf, DATA_AXIS, perm)
