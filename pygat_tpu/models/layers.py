@@ -620,13 +620,26 @@ def gat_v2_sparse_heads(
         ub = ub + jnp.einsum("nhf,hf->nh", leaky_relu(whi3 + mq[None], alpha),
                              a_neg)
         ub = jax.lax.stop_gradient(ub)  # [N, H]
+        interp = _seg._stream_interpret()
+        if use_drop and _fs.kernel_rng_enabled(interp):
+            seed2 = jax.lax.bitcast_convert_type(
+                jax.random.bits(k_att, (2,), jnp.uint32), jnp.int32)
+            agg, den = _fs.fused_v2_attention_rng(
+                whi, whj, ub, params.a, seed2,
+                graph.senders, graph.receivers, graph.r_local,
+                graph.r_chunk, graph.c_slot, graph.c_local, graph.c_chunk,
+                alpha, keep, _seg._STREAM_PRECISION, interp,
+            )
+            den = jnp.where(den > DEN_MIN, den, 1.0)
+            out = agg.reshape(n, n_heads, f_out) / den[:, :, None]
+            return _heads_tail(out, params, h, x_h, concat)
         keepq = _att_keepq(k_att if use_drop else None, keep, e_pad,
                            n_heads, use_drop)
         agg, den = _fs.fused_v2_attention(
             whi, whj, ub, params.a, keepq,
             graph.senders, graph.receivers, graph.r_local, graph.r_chunk,
             graph.c_slot, graph.c_local, graph.c_chunk,
-            alpha, _seg._STREAM_PRECISION, _seg._stream_interpret(),
+            alpha, _seg._STREAM_PRECISION, interp,
         )
         den = jnp.where(den > DEN_MIN, den, 1.0)
         out = agg.reshape(n, n_heads, f_out) / den[:, :, None]

@@ -205,11 +205,18 @@ def _make_v1_kernel(alpha: float, h: int, hf: int, two_limb: bool,
 
 
 def _make_v2_kernel(alpha: float, h: int, hf: int, two_limb: bool,
-                    interpret: bool):
+                    interpret: bool, rng_keep: float | None = None):
+    """``rng_keep`` set => in-kernel attention dropout (see
+    _make_v1_kernel)."""
     mm = _rounder(two_limb, interpret)
 
-    def kernel(ct_ref, local_ref, gj_ref, gi_ref, keep_ref, wiub_ref,
-               abd_ref, exp_ref, out_ref, den_ref):
+    def kernel(*refs):
+        if rng_keep is not None:
+            (ct_ref, seed_ref, local_ref, gj_ref, gi_ref, wiub_ref,
+             abd_ref, exp_ref, out_ref, den_ref, keepq_ref) = refs
+        else:
+            (ct_ref, local_ref, gj_ref, gi_ref, keep_ref, wiub_ref,
+             abd_ref, exp_ref, out_ref, den_ref) = refs
         i = pl.program_id(0)
         tile = ct_ref[i]
         first = jnp.logical_or(i == 0, ct_ref[jnp.maximum(i - 1, 0)] != tile)
@@ -235,7 +242,12 @@ def _make_v2_kernel(alpha: float, h: int, hf: int, two_limb: bool,
         logits = jnp.dot(mm(pre), mm(abd_ref[...]),
                          preferred_element_type=jnp.float32)  # [EC, H]
         num = jnp.exp(logits - wiub_e[:, hf:])
-        qnum = num * keep_ref[0]
+        if rng_keep is not None:
+            keepq = _draw_keepq(seed_ref, i, h, rng_keep)
+            keepq_ref[0] = keepq
+        else:
+            keepq = keep_ref[0]
+        qnum = num * keepq
         qnum_hf = jnp.dot(qnum, exp_ref[...],
                           preferred_element_type=jnp.float32)
         msgs = gi_ref[0].astype(jnp.float32) * qnum_hf  # whi at senders
@@ -631,6 +643,67 @@ def _v2_bwd(alpha, precision, interpret, res, cts):
 
 
 fused_v2_attention.defvjp(_v2_fwd, _v2_bwd)
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(12, 13, 14, 15))
+def fused_v2_attention_rng(whi, whj, ub, a, seed2,
+                           senders, receivers, r_local, r_chunk,
+                           c_slot, c_local, c_chunk,
+                           alpha: float, keep: float, precision: str,
+                           interpret: bool):
+    """fused_v2_attention with in-kernel attention dropout (per-chunk TPU
+    PRNG seeds — see fused_v1_attention_rng). COMPILED TPU ONLY."""
+    out, den, _ = _v2_rng_fwd_impl(whi, whj, ub, a, seed2, senders,
+                                   r_local, r_chunk, alpha, keep, precision,
+                                   interpret)
+    return out, den
+
+
+def _v2_rng_fwd_impl(whi, whj, ub, a, seed2, senders, r_local, r_chunk,
+                     alpha, keep, precision, interpret):
+    n_pad, hf = whi.shape
+    h, f = a.shape
+    e = senders.shape[0]
+    two_limb = precision != "fastest"
+    wdt = _win_dtype(precision)
+
+    gj = jnp.take(whj, senders, axis=0).astype(wdt)
+    gi = jnp.take(whi, senders, axis=0).astype(wdt)
+    wiub = jnp.concatenate([whi, ub], axis=1)
+    abd = _block_diag_a(a.astype(wdt))
+    exp_bd = _expand_bd(h, f)
+    local8 = r_local.reshape(e // EC // 8, 8, EC)
+
+    out, den, keepq = _grid_call_rng(
+        _make_v2_kernel(alpha, h, hf, two_limb, interpret, rng_keep=keep),
+        r_chunk, seed2,
+        [_window_spec_rng(hf), _window_spec_rng(hf)],
+        [gj.reshape(e // EC, EC, hf), gi.reshape(e // EC, EC, hf)],
+        [_tile_spec_rng(hf + h)], [wiub],
+        [_const_spec_rng(hf, h), _const_spec_rng(h, hf)], [abd, exp_bd],
+        local8, n_pad, hf, h, interpret,
+    )
+    return out, den, keepq.reshape(e, h)
+
+
+def _v2_rng_fwd(whi, whj, ub, a, seed2, senders, receivers, r_local,
+                r_chunk, c_slot, c_local, c_chunk, alpha, keep, precision,
+                interpret):
+    out, den, keepq = _v2_rng_fwd_impl(whi, whj, ub, a, seed2, senders,
+                                       r_local, r_chunk, alpha, keep,
+                                       precision, interpret)
+    res = (whi, whj, ub, a, keepq, senders, receivers, r_local, r_chunk,
+           c_slot, c_local, c_chunk)
+    return (out, den), res
+
+
+def _v2_rng_bwd(alpha, keep, precision, interpret, res, cts):
+    grads = _v2_bwd(alpha, precision, interpret, res, cts)
+    # same residual layout as the XLA-mask path; seed gets no gradient
+    return grads[:4] + (None,) + grads[5:]
+
+
+fused_v2_attention_rng.defvjp(_v2_rng_fwd, _v2_rng_bwd)
 
 
 # ---------------------------------------------------------------------------

@@ -188,15 +188,19 @@ def test_kernel_rng_on_tpu(setup):
             g.senders, g.r_local, g.r_chunk, 0.2, keep, "fastest", False)
         assert not np.array_equal(np.asarray(keepq), np.asarray(keepq2))
 
-        # full train-mode grads through the rng path are finite
-        def loss(p, key):
-            with seg.use_impl("stream"):
-                out = apply_gat(p, cfg, x, g, key, train=True)
-            return jnp.sum(out ** 2)
+        # full train-mode grads through the rng path are finite (v1 + v2)
+        for lt in ("GAT_sparse", "GATv2_sparse"):
+            cfg_t = _cfg(lt)
+            params_t = init_gat(jax.random.PRNGKey(0), cfg_t)
 
-        grads = jax.jit(jax.grad(loss))(params, jax.random.PRNGKey(1))
-        flat = ravel_pytree(grads)[0]
-        assert bool(jnp.isfinite(flat).all())
+            def loss(p, key):
+                with seg.use_impl("stream"):
+                    out = apply_gat(p, cfg_t, x, g, key, train=True)
+                return jnp.sum(out ** 2)
+
+            grads = jax.jit(jax.grad(loss))(params_t, jax.random.PRNGKey(1))
+            flat = ravel_pytree(grads)[0]
+            assert bool(jnp.isfinite(flat).all()), lt
     finally:
         fs.set_kernel_rng(False)
 
