@@ -42,59 +42,147 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 TILE = 128
-_P_MAX = 44  # panel span cap: keeps P*128*L*4 (*2 buffers) well under VMEM
+# Window-span cap. The radix R is ~T^(1/k) but a tile's measured span is
+# R +- ~R/sqrt(128) (order statistics of 128 uniform draws), so the cap
+# needs ~4-sigma slack over R or a few tail rows per tile overflow
+# (measured: cap 44 with R=42 overflowed 4.6% of rows at 500k-uniform;
+# cap 56 leaves ~0). VMEM at the cap: 56*128*L*4B*2buf ~ 3.7 MB at L=64.
+_P_MAX = 56
 
 
 class CornerPass(NamedTuple):
-    lo: jax.Array  # [T] int32 first input tile of each output tile's span
-    g: jax.Array  # [T//8, 8, TILE] int32 source offset within the span
-    p: int  # static span (input tiles per output tile)
+    lo: jax.Array  # [T] int32 first input tile of each output tile's window
+    g: jax.Array  # [T//8, 8, TILE] int32 source offset within the window
+    p: int  # static window (input tiles per output tile)
+    # rows whose source falls outside the capped window (radix-GROUP
+    # boundary tiles on structured permutations — measured up to span 145
+    # at 500k-clustered where uniform-density theory says ~R): fixed up by
+    # a tiny XLA pass after the kernel. Padded with duplicates of pair 0.
+    ov_src: jax.Array  # [V] int32 source position
+    ov_dst: jax.Array  # [V] int32 destination position
+    n_overflow: int
 
 
 class CornerPlan(NamedTuple):
     passes: tuple[CornerPass, ...]
     n_rows: int
 
+    @property
+    def overflow_total(self) -> int:
+        return sum(cp.n_overflow for cp in self.passes)
 
-def plan_corner_turn(dest: np.ndarray) -> CornerPlan:
+
+def _window_cover(src_tile_rows: np.ndarray, p: int) -> int:
+    """Best window start (tile id) covering the most of the 128 sorted
+    source tiles; rows are few, a sliding two-pointer scan suffices."""
+    s = np.sort(src_tile_rows)
+    best, best_lo, j = -1, int(s[0]), 0
+    for i in range(s.shape[0]):
+        while s[i] - s[j] >= p:
+            j += 1
+        if i - j + 1 > best:
+            best, best_lo = i - j + 1, int(s[i]) - p + 1
+    return max(best_lo, 0)
+
+
+def _pack_pass(src: np.ndarray, real: np.ndarray, p_cap: int) -> CornerPass:
+    """Window/overflow layout for one pass: ``src[j]`` = input position of
+    output position j (``real`` False on group-alignment pad slots, whose
+    output rows are garbage never consumed downstream)."""
+    e_out = src.shape[0]
+    t = e_out // TILE
+    t_in = int(src[real].max()) // TILE + 1 if real.any() else 1
+    j_tile = np.arange(e_out, dtype=np.int64) // TILE
+    src_tile = src // TILE
+    big = np.iinfo(np.int64).max
+    lo = np.full(t, big)
+    hi = np.zeros(t, dtype=np.int64)
+    np.minimum.at(lo, j_tile[real], src_tile[real])
+    np.maximum.at(hi, j_tile[real], src_tile[real])
+    lo[lo == big] = 0  # all-pad tiles
+    span = hi - lo + 1
+    p = int(span.max())
+    if p > p_cap:
+        # re-window the rare wide tiles around their densest p_cap-tile
+        # run; leftovers overflow to the XLA fix-up pass
+        for tt in np.nonzero(span > p_cap)[0]:
+            rows = src_tile[tt * TILE:(tt + 1) * TILE][real[tt * TILE:(tt + 1) * TILE]]
+            lo[tt] = min(_window_cover(rows, p_cap), max(t_in - p_cap, 0))
+        p = p_cap
+    in_win = real & (src_tile >= lo[j_tile]) & (src_tile < lo[j_tile] + p)
+    g = np.where(in_win, src - lo[j_tile] * TILE, 0).astype(np.int32)
+    ov = np.nonzero(real & ~in_win)[0]
+    n_ov = ov.shape[0]
+    v = max(-(-max(n_ov, 1) // TILE) * TILE, TILE)
+    # padding entries duplicate a true (src, dst) pair (idempotent set)
+    pad_src, pad_dst = (src[ov[0]], ov[0]) if n_ov else (src[0], 0)
+    ov_src = np.full(v, pad_src, np.int64)
+    ov_dst = np.full(v, pad_dst, np.int64)
+    ov_src[:n_ov] = src[ov]
+    ov_dst[:n_ov] = ov
+    g8 = (np.pad(g, (0, (-t % 8) * TILE)).reshape(-1, 8, TILE)
+          if t % 8 else g.reshape(t // 8, 8, TILE))
+    return CornerPass(
+        lo=jnp.asarray(lo.astype(np.int32)),
+        g=jnp.asarray(g8),
+        p=p,
+        ov_src=jnp.asarray(ov_src.astype(np.int32)),
+        ov_dst=jnp.asarray(ov_dst.astype(np.int32)),
+        n_overflow=n_ov,
+    )
+
+
+def plan_corner_turn(dest: np.ndarray, p_cap: int = _P_MAX,
+                     care: np.ndarray | None = None) -> CornerPlan:
     """Plan the permutation ``out[dest[i]] = x[i]`` (``dest`` a bijection
-    on [0, E)); E must be a multiple of 128."""
+    on [0, E)); E must be a multiple of 128.
+
+    MSD prefix passes: pass pk stable-sorts rows by the high prefix
+    ``dest_tile // R^(k-1-pk)``, REFINING the previous pass's groups, so
+    sources stay contiguous-windowed for uniform (span ~R) AND
+    nearly-sorted (span ~1) permutations; intermediate groups are
+    128-row-aligned so tiles never straddle groups.
+
+    ``care`` (bool [E], default all-True): rows with care=False get an
+    UNSPECIFIED (but finite) output value and are excluded from window
+    planning — stream-padding slots whose destinations are scattered
+    would otherwise blow tile spans (measured: the ~4% dead slots caused
+    ~1% row overflow at 500k)."""
     dest = np.asarray(dest, dtype=np.int64)
     e = dest.shape[0]
     if e % TILE:
         raise ValueError(f"rows ({e}) must be a multiple of {TILE}")
+    if care is None:
+        care = np.ones(e, dtype=bool)
     t = e // TILE
-    k = max(1, math.ceil(math.log(max(t, 2)) / math.log(_P_MAX)))
+    k = max(1, math.ceil(math.log(max(t, 2)) / math.log(p_cap)))
     r = math.ceil(t ** (1.0 / k))
 
-    order = np.arange(e, dtype=np.int64)  # row id at each current position
-    pos_of = np.arange(e, dtype=np.int64)  # current position of each row
-    final_order = np.argsort(dest, kind="stable")  # row at each dest pos
+    row_pos = np.arange(e, dtype=np.int64)  # current position of each row
     passes = []
-    j_tile = np.arange(e, dtype=np.int64) // TILE
     for pk in range(k):
         if pk < k - 1:
-            key = (dest[order] // TILE) // (r ** pk) % r
-            new_order = order[np.argsort(key, kind="stable")]
+            key = (dest // TILE) // (r ** (k - 1 - pk))  # per ROW
+            order = np.lexsort((row_pos, key))  # stable within key
+            counts = np.bincount(key, minlength=int(key.max()) + 1)
+            nz = counts > 0
+            padded = -(-counts // TILE) * TILE
+            base = np.concatenate([[0], np.cumsum(padded)[:-1]])
+            rank = np.empty(e, dtype=np.int64)
+            rank[order] = np.arange(e) - np.repeat(
+                np.concatenate([[0], np.cumsum(counts[nz])[:-1]]), counts[nz]
+            )
+            new_pos = base[key] + rank
+            e_out = int(padded.sum())
         else:
-            new_order = final_order
-        src = pos_of[new_order]  # source position per new position
-        src_tile = src // TILE
-        lo = np.full(t, np.iinfo(np.int64).max)
-        hi = np.zeros(t, dtype=np.int64)
-        np.minimum.at(lo, j_tile, src_tile)
-        np.maximum.at(hi, j_tile, src_tile)
-        p = int((hi - lo + 1).max())
-        g = (src - lo[j_tile] * TILE).astype(np.int32)
-        passes.append(CornerPass(
-            lo=jnp.asarray(lo.astype(np.int32)),
-            g=jnp.asarray(g.reshape(t // 8, 8, TILE)) if t % 8 == 0
-            else jnp.asarray(np.pad(g, (0, (8 - t % 8) * TILE)).reshape(-1, 8, TILE)),
-            p=p,
-        ))
-        order = new_order
-        pos_of = np.empty(e, dtype=np.int64)
-        pos_of[order] = np.arange(e)
+            new_pos = dest
+            e_out = e
+        src = np.zeros(e_out, dtype=np.int64)
+        real = np.zeros(e_out, dtype=bool)
+        src[new_pos] = row_pos
+        real[new_pos] = care
+        passes.append(_pack_pass(src, real, p_cap))
+        row_pos = new_pos
     return CornerPlan(passes=tuple(passes), n_rows=e)
 
 
@@ -142,14 +230,18 @@ def _split_hi(x):
 
 def _one_pass_arrays(x, lo, g, p: int, mode: str, interpret: bool,
                      exact: bool):
-    e, l = x.shape
-    t = e // TILE
+    """Permute rows of ``x`` [E_in, L] into [E_out, L] (E_out = 128 *
+    lo.shape[0]; lengths differ when intermediate groups carry alignment
+    padding)."""
+    l = x.shape[1]
+    t_in = x.shape[0] // TILE
+    t = lo.shape[0]
     spec_g = pl.BlockSpec((1, 8, TILE), lambda i, lo: (i // 8, 0, 0))
 
     def _panel_spec(kk):
         return pl.BlockSpec(
             (TILE, l),
-            lambda i, lo, kk=kk: (jnp.minimum(lo[i] + kk, t - 1), 0),
+            lambda i, lo, kk=kk: (jnp.minimum(lo[i] + kk, t_in - 1), 0),
         )
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -161,7 +253,7 @@ def _one_pass_arrays(x, lo, g, p: int, mode: str, interpret: bool,
     return pl.pallas_call(
         _make_permute_kernel(p, l, mode, interpret, exact),
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((e, l), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((t * TILE, l), jnp.float32),
         interpret=interpret,
     )(lo, g, *([x] * p))
 
@@ -169,8 +261,12 @@ def _one_pass_arrays(x, lo, g, p: int, mode: str, interpret: bool,
 def _apply_passes(x, arrs, ps, mode, interpret, exact):
     out = x.astype(jnp.float32)
     for k, p in enumerate(ps):
-        out = _one_pass_arrays(out, arrs[2 * k], arrs[2 * k + 1], p, mode,
-                               interpret, exact)
+        lo, g, ov_src, ov_dst = arrs[4 * k:4 * k + 4]
+        src = out
+        out = _one_pass_arrays(src, lo, g, p, mode, interpret, exact)
+        # out-of-window rows (rare re-windowed tiles): tiny exact fix-up;
+        # padding entries are duplicates of a true (src, dst) pair
+        out = out.at[ov_dst].set(src[ov_src])
     return out
 
 
@@ -179,7 +275,8 @@ def flatten_plan(plan: CornerPlan):
     (at million-edge scale the [E] g arrays must never be closure
     constants: CLAUDE.md measurement rules)."""
     return (
-        tuple(a for cp in plan.passes for a in (cp.lo, cp.g)),
+        tuple(a for cp in plan.passes
+              for a in (cp.lo, cp.g, cp.ov_src, cp.ov_dst)),
         tuple(cp.p for cp in plan.passes),
     )
 
@@ -209,7 +306,7 @@ def _permute_op(ps_fwd: tuple, ps_inv: tuple, mode: str, exact: bool,
     """custom_vjp op over flat plan arrays (cached per static structure).
     Signature: op(x, *fwd_arrays, *inv_arrays); backward applies the
     inverse passes to the cotangent."""
-    n_f = 2 * len(ps_fwd)
+    n_f = 4 * len(ps_fwd)
 
     @jax.custom_vjp
     def op(x, *arrs):

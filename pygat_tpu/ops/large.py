@@ -125,10 +125,16 @@ def plan_csc_to_csr(graph) -> CscCsrPlans:
     used = np.zeros(e_s2, dtype=bool)
     used[c_slot[live]] = True
     dest[~live] = np.nonzero(~used)[0]
-    fwd = plan_corner_turn(dest)
+    # don't-care rows (unspecified finite outputs): the scattered dead-slot
+    # destinations would otherwise blow the window spans. Forward: dead CSC
+    # slots land on dead/extension CSR positions (edge_mask kills them).
+    # Inverse: CSR rows whose destination is a dead CSC slot (c_local ==
+    # DEAD kills them in the CSC-side scatter).
+    fwd = plan_corner_turn(dest, care=live)
     inv_perm = np.empty(e_s2, dtype=np.int64)
     inv_perm[dest] = np.arange(e_s2)
-    return CscCsrPlans(fwd=fwd, inv=plan_corner_turn(inv_perm))
+    return CscCsrPlans(fwd=fwd,
+                       inv=plan_corner_turn(inv_perm, care=live[inv_perm]))
 
 
 # ---------------------------------------------------------------------------
@@ -148,7 +154,7 @@ def _spmm_corner_op(ps_fwd: tuple, ps_inv: tuple, mode: str, precision: str,
     structure; plan arrays ride as jit ARGUMENTS, never constants).
     Signature: op(values, x, edge_mask, r_local, r_chunk, c_local,
     c_chunk, *fwd_arrays, *inv_arrays)."""
-    n_f = 2 * len(ps_fwd)
+    n_f = 4 * len(ps_fwd)
     exact = precision != "fastest"
 
     def _fwd_impl(values, x, edge_mask, r_local, r_chunk, c_local, c_chunk,
