@@ -1,0 +1,132 @@
+"""Million-node fused-attention benchmark: corner (gather-free) vs take.
+
+Times the fused v1 attention op — the whole per-edge pipeline of one
+sparse GAT layer — at large N, where XLA's row gather serializes
+(~14 ns/row once the wh table exceeds VMEM; RESULTS.md "Large-graph
+finding"). The corner variant replaces that gather with CSC expand +
+corner-turn passes (ops/fused_corner.py) whose cost is k full HBM sweeps
+of the [E, HF] window (k = number of corner passes), so its roofline
+time is ~(2k + 2.5) * E*HF*4 / BW versus the take path's E * 14 ns wall.
+
+Usage:
+  python -m benchmarks.bench_large --n 500000 --deg 16 --h 4 --f 32
+  python -m benchmarks.bench_large --n 500000 --deg 16 --clustered --grad
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+HBM_GBPS = 819.0  # TPU v5e nominal
+
+from benchmarks.bench_kernels import _devtime, _graph
+
+
+def main() -> int:
+    p = argparse.ArgumentParser()
+    p.add_argument("--n", type=int, default=500_000)
+    p.add_argument("--deg", type=int, default=16)
+    p.add_argument("--h", type=int, default=4)
+    p.add_argument("--f", type=int, default=32)
+    p.add_argument("--clustered", action="store_true")
+    p.add_argument("--grad", action="store_true",
+                   help="also time forward+backward")
+    p.add_argument("--skip-take", action="store_true",
+                   help="skip the serialized-gather baseline (slow at 1M+)")
+    a = p.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from pygat_tpu.ops import fused_corner as fc
+    from pygat_tpu.ops import fused_stream as fs
+    from pygat_tpu.ops.corner import flatten_plan
+    from pygat_tpu.ops.large import plan_csc_to_csr
+
+    interp = jax.default_backend() != "tpu"
+    g = _graph(a.n, a.deg, a.clustered)
+    n_pad, e_pad = g.num_nodes_padded, g.num_edges_padded
+    e_real = int(g.n_edge)
+    hf = a.h * a.f
+    plans = plan_csc_to_csr(g)
+    arr_f, ps_f = flatten_plan(plans.fwd)
+    arr_i, ps_i = flatten_plan(plans.inv)
+    k = len(ps_f)
+    print(f"[bench_large] N={a.n} E={e_real} HF={hf} corner passes fwd "
+          f"{[cp.p for cp in plans.fwd.passes]} overflow "
+          f"{plans.fwd.overflow_total + plans.inv.overflow_total}",
+          file=sys.stderr, flush=True)
+
+    rng = np.random.default_rng(1)
+    wh = jnp.asarray(rng.standard_normal((n_pad, hf)).astype(np.float32))
+    f_dst = jnp.asarray(
+        rng.standard_normal((n_pad, a.h)).astype(np.float32))
+    bound = jnp.abs(f_dst) + 2.0
+    a_src = jnp.asarray(
+        rng.standard_normal((a.h, a.f)).astype(np.float32) * 0.1)
+    keepq = jnp.ones((e_pad, a.h), jnp.float32)
+
+    corner_op = fc._v1_corner_op(ps_f, ps_i, 0.2, "fastest", interp)
+
+    def run_corner(wh, f_dst, a_src, gg, *arrs):
+        return corner_op(wh, f_dst, bound, a_src, keepq, gg.r_local,
+                         gg.r_chunk, gg.c_local, gg.c_chunk, *arrs)[0]
+
+    def run_take(wh, f_dst, a_src, gg):
+        return fs.fused_v1_attention(
+            wh, f_dst, bound, a_src, keepq, gg.senders, gg.receivers,
+            gg.r_local, gg.r_chunk, gg.c_slot, gg.c_local, gg.c_chunk,
+            0.2, "fastest", interp)[0]
+
+    def grad_of(fn):
+        def gfn(wh, f_dst, a_src, *rest):
+            return jax.grad(
+                lambda w, fd, asr: jnp.sum(fn(w, fd, asr, *rest) ** 2),
+                argnums=(0, 1, 2))(wh, f_dst, a_src)[0]
+        return gfn
+
+    # forward HBM traffic: expand reads E/2 rows-equivalent of wh tiles +
+    # writes [E_s2, HF]; k passes read+write; kernel reads windows + writes
+    # [N, HF+H]. take path: same window write/read + N-table gather.
+    t_corner = e_pad * hf * 4 * (0.5 + 1 + 2 * k + 1) + n_pad * (hf + a.h) * 4
+    t_take = e_pad * hf * 4 * 2 + n_pad * hf * 4 + n_pad * (hf + a.h) * 4
+
+    cases = [("fusedv1-corner", t_corner, run_corner,
+              (wh, f_dst, a_src, g) + arr_f + arr_i)]
+    if not a.skip_take:
+        cases.append(("fusedv1-take", t_take, run_take, (wh, f_dst, a_src, g)))
+    if a.grad:
+        cases.append(("fusedv1-corner-grad", 3 * t_corner,
+                      grad_of(run_corner),
+                      (wh, f_dst, a_src, g) + arr_f + arr_i))
+        if not a.skip_take:
+            cases.append(("fusedv1-take-grad", 3 * t_take,
+                          grad_of(run_take), (wh, f_dst, a_src, g)))
+
+    for name, traffic, fn, args in cases:
+        print(f"[bench_large] timing {name}...", file=sys.stderr, flush=True)
+        try:
+            dt = _devtime(fn, *args, k1=5, k2=15)
+        except Exception as exc:
+            print(json.dumps({"metric": name, "error": str(exc)[:200]}),
+                  flush=True)
+            continue
+        gbps = traffic / dt / 1e9
+        print(json.dumps({
+            "metric": f"{name}_edges_per_s",
+            "value": round(e_real / dt),
+            "unit": "edges/s",
+            "ms": round(dt * 1e3, 3),
+            "effective_gbps": round(gbps, 1),
+            "roofline_frac": round(gbps / HBM_GBPS, 3),
+            "config": {"n": a.n, "deg": a.deg, "h": a.h, "f": a.f,
+                       "clustered": a.clustered},
+        }), flush=True)
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -45,6 +45,12 @@ def build_parser() -> argparse.ArgumentParser:
                         "default), xla = scatter lowering (the round-1 "
                         "BCSR kernel is comparison-only; see "
                         "benchmarks/bench_epoch.py)")
+    p.add_argument("--corner", type=str, default=None,
+                   choices=["auto", "on", "off"],
+                   help="gather-free fused-attention window build for "
+                        "million-node graphs (CSC expand + corner-turn "
+                        "instead of a serialized row gather); auto = on "
+                        "above PYGAT_CORNER_N padded nodes (default 128k)")
     p.add_argument("--platform", type=str, default=None,
                    help="force a JAX platform (e.g. cpu)")
     p.add_argument("--checkpoint-dir", type=str, default="checkpoints")
@@ -106,6 +112,10 @@ def main(argv=None) -> int:
         else:
             set_backend(args.backend)
             set_segment_impl("scatter")
+    if args.corner:
+        from pygat_tpu.ops.large import set_corner
+
+        set_corner(args.corner)
 
     data = load_citation(args.dataset, data_root=args.data_root,
                          reorder=args.reorder)

@@ -120,6 +120,7 @@ def apply_gat(
     *,
     train: bool,
     tiles: Any = None,  # ops.tiles.TiledGraph enables the fused Pallas path
+    plans: Any = None,  # ops.large.CscCsrPlans: gather-free sparse layers
     backend: str | None = None,
     interpret: bool = False,
 ) -> jax.Array:
@@ -174,6 +175,9 @@ def apply_gat(
             h = heads_fn(
                 layer_params, h, graph, layer_key,
                 alpha=cfg.alpha, drop=cfg.dropout, concat=concat, train=train,
+                # corner plans (million-node graphs) apply to the fused
+                # branch only; ignored when the fused kernel is off
+                plans=plans,
             )
         return h
 

@@ -43,18 +43,55 @@ NEG_INF = -9e15  # reference's masking constant (layers.py:40)
 # Softmax-denominator clamp. 1e-18, NOT 0: with the bound-shifted softmax a
 # row whose incoming logits all sit far under the bound can underflow its
 # denominator toward the f32 subnormal band; the forward division still
-# cancels (num/den is a ratio of same-scale f32 normals), but the unfused
+# cancels (num/den is a ratio of same-scale f32 normals), but a naive
 # BACKWARD forms den^2, which underflows to 0 below den ~1.1e-19 -> 1/den^2
 # = inf, and inf*0 downstream turns every parameter gradient NaN (found by
 # the fused-kernel train test; applies to all segment backends). 1e-18
-# keeps den^2 normal with a 10x margin and every backward factor finite
-# (out/den <= ~1e22), while zeroing only rows whose best incoming edge sits
+# keeps den^2 normal, while zeroing only rows whose best incoming edge sits
 # > 41 nats under the bound — numerically collapsed anyway. Don't raise it
 # further: the ring/stream bounds are loose (global max), and healthy rows
 # can carry den well under 1e-15 on adversarial inputs
-# (test_ring_v2_attention_matches_layer). The fused kernel's custom VJP
-# never forms these intermediates but uses the same clamp for parity.
+# (test_ring_v2_attention_matches_layer).
+#
+# The clamp alone is NOT sufficient: even with den^2 normal, the div
+# backward's per-element products g*agg/den^2 can overflow to +-inf just
+# above the clamp (den ~1e-18, |agg/den^2| ~1e20, moderate g) and the
+# mixed-sign inf terms cancel to NaN in the sum over F (observed: one NaN
+# in g_den poisons every upstream parameter grad through the kernel VJP).
+# ALL division-by-den sites must therefore go through softmax_div below,
+# whose custom VJP computes g_den = -sum(g*out)/den — one power of den, so
+# no intermediate ever exceeds the true cotangent's own magnitude.
 DEN_MIN = 1e-18
+
+
+@jax.custom_vjp
+def _div_stable(agg, den):
+    """``agg / den[..., None]`` with an overflow-safe backward (see the
+    DEN_MIN note): agg [..., F] (any leading dims), den [...] > 0."""
+    return agg / den[..., None]
+
+
+def _div_stable_fwd(agg, den):
+    out = agg / den[..., None]
+    return out, (out, den)
+
+
+def _div_stable_bwd(res, g):
+    out, den = res
+    # -g*agg/den^2 computed as -(g*out)/den: the true value reached via
+    # intermediates of the same scale (out is O(1) for softmax rows)
+    return g / den[..., None], -jnp.sum(g * out, axis=-1) / den
+
+
+_div_stable.defvjp(_div_stable_fwd, _div_stable_bwd)
+
+
+def softmax_div(agg, den):
+    """Clamped, backward-stable softmax normalization: agg [..., F] divided
+    by den [...], rows with den <= DEN_MIN (padding / numerically collapsed)
+    pass through unscaled with zero den-gradient."""
+    den = jnp.where(den > DEN_MIN, den, 1.0)
+    return _div_stable(agg, den)
 
 
 class V1Params(NamedTuple):
@@ -273,9 +310,8 @@ def _sparse_attention_aggregate(
     else:
         h_prime = segment_sum(num[:, None] * values[graph.senders], graph.receivers, n_pad)
     # Reference divides with no guard (self-loops ensure denom > 0 on real
-    # rows; layers.py:160); padding rows have denom == 0, clamp those.
-    denom = jnp.where(denom > DEN_MIN, denom, 1.0)
-    return h_prime / denom[:, None]
+    # rows; layers.py:160); padding rows have denom == 0, softmax_div clamps.
+    return softmax_div(h_prime, denom)
 
 
 def gat_v1_sparse(
@@ -386,6 +422,7 @@ def gat_v1_sparse_heads(
     drop: float,
     concat: bool,
     train: bool,
+    plans=None,  # ops.large.CscCsrPlans: gather-free fused path (large N)
 ) -> jax.Array:
     """Head-batched sparse GATv1 in TPU-friendly layouts (the XLA fast path).
 
@@ -464,6 +501,28 @@ def gat_v1_sparse_heads(
         bound = jax.lax.stop_gradient(
             leaky_relu(f_dst_n + m_src[None, :], alpha))
         interp = _seg._stream_interpret()
+        if plans is not None:
+            # million-node path: sender windows by CSC expand + corner-turn
+            # (no serialized row gather, forward or backward)
+            from pygat_tpu.ops import fused_corner as _fcn
+
+            if use_drop and _fs.kernel_rng_enabled(interp):
+                seed2 = jax.lax.bitcast_convert_type(
+                    jax.random.bits(k_att, (2,), jnp.uint32), jnp.int32)
+                agg, den = _fcn.fused_v1_attention_corner_rng(
+                    wh, f_dst_n, bound, params.a[:, f_out:], seed2, graph,
+                    plans, alpha=alpha, keep=keep,
+                    precision=_seg._STREAM_PRECISION, interpret=interp,
+                )
+            else:
+                keepq = _att_keepq(k_att, keep, e_pad, n_heads, use_drop)
+                agg, den = _fcn.fused_v1_attention_corner(
+                    wh, f_dst_n, bound, params.a[:, f_out:], keepq, graph,
+                    plans, alpha=alpha, precision=_seg._STREAM_PRECISION,
+                    interpret=interp,
+                )
+            out = softmax_div(agg.reshape(n, n_heads, f_out), den)
+            return _heads_tail(out, params, h, x_h, concat)
         if use_drop and _fs.kernel_rng_enabled(interp):
             # attention mask drawn inside the kernel (per-chunk TPU PRNG
             # seeds) — no [E, H] mask tensor read from HBM
@@ -475,8 +534,7 @@ def gat_v1_sparse_heads(
                 graph.r_chunk, graph.c_slot, graph.c_local, graph.c_chunk,
                 alpha, keep, _seg._STREAM_PRECISION, interp,
             )
-            den = jnp.where(den > DEN_MIN, den, 1.0)
-            out = agg.reshape(n, n_heads, f_out) / den[:, :, None]
+            out = softmax_div(agg.reshape(n, n_heads, f_out), den)
             return _heads_tail(out, params, h, x_h, concat)
         keepq = _att_keepq(k_att, keep, e_pad, n_heads, use_drop)
         agg, den = _fs.fused_v1_attention(
@@ -485,8 +543,7 @@ def gat_v1_sparse_heads(
             graph.c_slot, graph.c_local, graph.c_chunk,
             alpha, _seg._STREAM_PRECISION, interp,
         )
-        den = jnp.where(den > DEN_MIN, den, 1.0)
-        out = agg.reshape(n, n_heads, f_out) / den[:, :, None]
+        out = softmax_div(agg.reshape(n, n_heads, f_out), den)
         return _heads_tail(out, params, h, x_h, concat)
 
     f_dst = jnp.einsum("nho,ho->hn", wh3, params.a[:, :f_out])  # [H, N]
@@ -543,9 +600,7 @@ def gat_v1_sparse_heads(
     )  # [E, HF + H]
     agg = segment_sum_receivers(msgs, graph)  # [N, HF + H]
 
-    den = agg[:, hf:]  # [N, H]
-    den = jnp.where(den > DEN_MIN, den, 1.0)
-    out = agg[:, :hf].reshape(n, n_heads, f_out) / den[:, :, None]
+    out = softmax_div(agg[:, :hf].reshape(n, n_heads, f_out), agg[:, hf:])
 
     return _heads_tail(out, params, h, x_h, concat)
 
@@ -560,6 +615,7 @@ def gat_v2_sparse_heads(
     drop: float,
     concat: bool,
     train: bool,
+    plans=None,  # ops.large.CscCsrPlans: gather-free fused path (large N)
 ) -> jax.Array:
     """Head-batched sparse GATv2 in TPU-friendly layouts (see
     :func:`gat_v1_sparse_heads` for the layout rationale). Per-head math is
@@ -621,6 +677,28 @@ def gat_v2_sparse_heads(
                              a_neg)
         ub = jax.lax.stop_gradient(ub)  # [N, H]
         interp = _seg._stream_interpret()
+        if plans is not None:
+            # million-node path (see the v1 branch / ops/fused_corner.py)
+            from pygat_tpu.ops import fused_corner as _fcn
+
+            if use_drop and _fs.kernel_rng_enabled(interp):
+                seed2 = jax.lax.bitcast_convert_type(
+                    jax.random.bits(k_att, (2,), jnp.uint32), jnp.int32)
+                agg, den = _fcn.fused_v2_attention_corner_rng(
+                    whi, whj, ub, params.a, seed2, graph, plans,
+                    alpha=alpha, keep=keep,
+                    precision=_seg._STREAM_PRECISION, interpret=interp,
+                )
+            else:
+                keepq = _att_keepq(k_att if use_drop else None, keep, e_pad,
+                                   n_heads, use_drop)
+                agg, den = _fcn.fused_v2_attention_corner(
+                    whi, whj, ub, params.a, keepq, graph, plans,
+                    alpha=alpha, precision=_seg._STREAM_PRECISION,
+                    interpret=interp,
+                )
+            out = softmax_div(agg.reshape(n, n_heads, f_out), den)
+            return _heads_tail(out, params, h, x_h, concat)
         if use_drop and _fs.kernel_rng_enabled(interp):
             seed2 = jax.lax.bitcast_convert_type(
                 jax.random.bits(k_att, (2,), jnp.uint32), jnp.int32)
@@ -630,8 +708,7 @@ def gat_v2_sparse_heads(
                 graph.r_chunk, graph.c_slot, graph.c_local, graph.c_chunk,
                 alpha, keep, _seg._STREAM_PRECISION, interp,
             )
-            den = jnp.where(den > DEN_MIN, den, 1.0)
-            out = agg.reshape(n, n_heads, f_out) / den[:, :, None]
+            out = softmax_div(agg.reshape(n, n_heads, f_out), den)
             return _heads_tail(out, params, h, x_h, concat)
         keepq = _att_keepq(k_att if use_drop else None, keep, e_pad,
                            n_heads, use_drop)
@@ -641,8 +718,7 @@ def gat_v2_sparse_heads(
             graph.c_slot, graph.c_local, graph.c_chunk,
             alpha, _seg._STREAM_PRECISION, interp,
         )
-        den = jnp.where(den > DEN_MIN, den, 1.0)
-        out = agg.reshape(n, n_heads, f_out) / den[:, :, None]
+        out = softmax_div(agg.reshape(n, n_heads, f_out), den)
         return _heads_tail(out, params, h, x_h, concat)
 
     pre_i = gather_receivers(whi, graph)
@@ -697,8 +773,7 @@ def gat_v2_sparse_heads(
     )
     agg = segment_sum_receivers(msgs, graph)  # [N, HF + H]
 
-    den = jnp.where(agg[:, hf:] > DEN_MIN, agg[:, hf:], 1.0)  # [N, H]
-    out = agg[:, :hf].reshape(n, n_heads, f_out) / den[:, :, None]
+    out = softmax_div(agg[:, :hf].reshape(n, n_heads, f_out), agg[:, hf:])
 
     return _heads_tail(out, params, h, x_h, concat)
 

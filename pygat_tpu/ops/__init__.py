@@ -49,3 +49,11 @@ from pygat_tpu.ops.large import (  # noqa: F401
     spmm_corner_graph,
     stream_expand,
 )
+from pygat_tpu.ops.fused_corner import (  # noqa: F401
+    fused_v1_attention_corner,
+    fused_v2_attention_corner,
+)
+from pygat_tpu.ops.large import (  # noqa: F401
+    maybe_plan_corner,
+    set_corner,
+)

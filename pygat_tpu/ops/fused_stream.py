@@ -179,9 +179,15 @@ def _make_v1_kernel(alpha: float, h: int, hf: int, two_limb: bool,
                       preferred_element_type=jnp.float32)  # [EC, 2H]
         raw = fde[:, :h] + l_src
         logits = jnp.where(raw >= 0, raw, alpha * raw)
-        # dead slots: g = 0 (dummy-row features), fde = 0 -> num = 1,
-        # finite; both one-hots are zero there so nothing propagates
-        num = jnp.exp(logits - fde[:, h:])  # [EC, H]
+        # Dead slots never reach either output (both one-hots are zero
+        # there), but their numerator must still be KILLED here: with
+        # take-built windows g = 0 at dead slots (dummy-row features) and
+        # num would be a harmless 1, but corner-built windows
+        # (ops/fused_corner.py) carry UNSPECIFIED row copies whose
+        # unbounded logit can exp to inf — and inf * 0 in the MXU dot is
+        # NaN. One [EC, H] select; measured noise-level.
+        live = (loc < TILE)[:, None]
+        num = jnp.where(live, jnp.exp(logits - fde[:, h:]), 0.0)  # [EC, H]
         if rng_keep is not None:
             keepq = _draw_keepq(seed_ref, i, h, rng_keep)
             keepq_ref[0] = keepq  # residual for the XLA backward
@@ -241,7 +247,10 @@ def _make_v2_kernel(alpha: float, h: int, hf: int, two_limb: bool,
         pre = jnp.where(pre_raw >= 0, pre_raw, alpha * pre_raw)
         logits = jnp.dot(mm(pre), mm(abd_ref[...]),
                          preferred_element_type=jnp.float32)  # [EC, H]
-        num = jnp.exp(logits - wiub_e[:, hf:])
+        # kill dead-slot numerators (see _make_v1_kernel: corner-built
+        # windows carry unspecified rows; exp can inf and 0 * inf = NaN)
+        live = (loc < TILE)[:, None]
+        num = jnp.where(live, jnp.exp(logits - wiub_e[:, hf:]), 0.0)
         if rng_keep is not None:
             keepq = _draw_keepq(seed_ref, i, h, rng_keep)
             keepq_ref[0] = keepq

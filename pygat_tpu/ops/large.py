@@ -24,6 +24,7 @@ scales the reference's dense backward cannot represent at all.
 
 from __future__ import annotations
 
+import os as _os
 from functools import partial
 from typing import NamedTuple
 
@@ -110,10 +111,11 @@ class CscCsrPlans(NamedTuple):
     inv: CornerPlan
 
 
-def plan_csc_to_csr(graph) -> CscCsrPlans:
+def plan_csc_to_csr(graph, p_cap: int | None = None) -> CscCsrPlans:
     """Bijection from CSC stream slots to CSR edge positions: live slot k
     holds edge c_slot[k]; dead slots fill the CSR dead positions and the
-    length difference (E_s2 >= E_s) in order."""
+    length difference (E_s2 >= E_s) in order. ``p_cap`` overrides the
+    window-span cap (tests force multi-pass plans on small graphs)."""
     if graph.c_slot is None:
         raise ValueError("needs a stream-aligned graph")
     c_slot = np.asarray(graph.c_slot).astype(np.int64)
@@ -130,11 +132,49 @@ def plan_csc_to_csr(graph) -> CscCsrPlans:
     # slots land on dead/extension CSR positions (edge_mask kills them).
     # Inverse: CSR rows whose destination is a dead CSC slot (c_local ==
     # DEAD kills them in the CSC-side scatter).
-    fwd = plan_corner_turn(dest, care=live)
+    from pygat_tpu.ops.corner import _P_MAX
+
+    cap = _P_MAX if p_cap is None else p_cap
+    fwd = plan_corner_turn(dest, cap, care=live)
     inv_perm = np.empty(e_s2, dtype=np.int64)
     inv_perm[dest] = np.arange(e_s2)
     return CscCsrPlans(fwd=fwd,
-                       inv=plan_corner_turn(inv_perm, care=live[inv_perm]))
+                       inv=plan_corner_turn(inv_perm, cap,
+                                            care=live[inv_perm]))
+
+
+_CORNER_MODE = _os.environ.get("PYGAT_CORNER", "auto")
+# Crossover node count above which the serialized XLA row gather loses to
+# the expand+corner-turn window build (RESULTS.md "Large-graph finding":
+# take collapses once the wh table exceeds VMEM; at Pubmed scale (~20k
+# nodes) take still wins). 128k default pending a measured crossover on
+# hardware — tune with PYGAT_CORNER_N.
+_CORNER_N = int(_os.environ.get("PYGAT_CORNER_N", str(128 * 1024)))
+
+
+def set_corner(mode: str) -> None:
+    """'auto' (N_pad >= PYGAT_CORNER_N), 'on', or 'off' — selects the
+    gather-free corner window build for the fused attention layers."""
+    global _CORNER_MODE
+    if mode not in ("auto", "on", "off"):
+        raise ValueError(f"unknown corner mode: {mode!r}")
+    _CORNER_MODE = mode
+
+
+def maybe_plan_corner(graph) -> CscCsrPlans | None:
+    """CscCsrPlans when the fused layers should build sender windows via
+    CSC expand + corner-turn instead of ``jnp.take`` (which XLA serializes
+    at ~14 ns/row once the node table exceeds VMEM). None = keep take.
+    Plans are static host-side metadata; pass the result to
+    ``apply_gat(..., plans=...)`` (ignored whenever the fused kernel is
+    off, e.g. under GSPMD multi-device meshes)."""
+    if graph.c_slot is None:
+        return None
+    if _CORNER_MODE == "off":
+        return None
+    if _CORNER_MODE == "auto" and graph.num_nodes_padded < _CORNER_N:
+        return None
+    return plan_csc_to_csr(graph)
 
 
 # ---------------------------------------------------------------------------

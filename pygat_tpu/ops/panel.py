@@ -271,12 +271,84 @@ def _panel_bwd(p, precision, interpret, mode, res, g):
 panel_spmm.defvjp(_panel_fwd, _panel_bwd)
 
 
+import functools as _functools
+
+
+@_functools.lru_cache(maxsize=None)
+def _panel_corner_op(ps_fwd: tuple, ps_inv: tuple, p: int, precision: str,
+                     interpret: bool, mode: str):
+    """panel_spmm with a GATHER-FREE backward: the forward is the identical
+    panel kernel, but the VJP's ``dense[senders]`` gather goes through CSC
+    expand + corner-turn and the sender scatter through the inverse turn +
+    CSC stream scatter (ops/fused_corner.py machinery) — fixing the
+    million-node gather-bound backward of `_panel_bwd`. Cached per static
+    plan structure; plan arrays ride as jit arguments. Signature:
+    op(values, dense, panel_tiles, g_idx, overflow_edges, senders,
+    receivers, edge_mask, r_local, r_chunk, c_local, c_chunk,
+    *fwd_arrays, *inv_arrays) -> out [N, L]."""
+    from pygat_tpu.ops.fused_corner import _gather_corner, _scatter_corner
+    from pygat_tpu.ops.large import _expand_impl
+
+    n_f = 4 * len(ps_fwd)
+    exact = precision != "fastest"
+    prec = "high" if exact else "fastest"
+
+    @jax.custom_vjp
+    def op(values, dense, panel_tiles, g_idx, overflow_edges, senders,
+           receivers, edge_mask, r_local, r_chunk, c_local, c_chunk, *arrs):
+        return _panel_fwd_impl(values, dense, panel_tiles, g_idx,
+                               overflow_edges, senders, receivers, edge_mask,
+                               r_local, r_chunk, p, precision, interpret,
+                               mode)
+
+    def fwd(values, dense, panel_tiles, g_idx, overflow_edges, senders,
+            receivers, edge_mask, r_local, r_chunk, c_local, c_chunk, *arrs):
+        out = _panel_fwd_impl(values, dense, panel_tiles, g_idx,
+                              overflow_edges, senders, receivers, edge_mask,
+                              r_local, r_chunk, p, precision, interpret,
+                              mode)
+        return out, (values, dense, edge_mask, r_local, r_chunk, c_local,
+                     c_chunk) + arrs
+
+    def bwd(res, g):
+        values, dense, edge_mask, r_local, r_chunk, c_local, c_chunk = res[:7]
+        arrs = res[7:]
+        e_s = values.shape[0]
+        n_pad = dense.shape[0]
+        g_recv = _expand_impl(g, r_local, r_chunk, interpret)  # [E_s, L]
+        d_send = _gather_corner(dense, c_local, c_chunk, arrs[:n_f], ps_fwd,
+                                e_s, interpret, exact)  # [E_s, L]
+        dvalues = jnp.where(edge_mask, jnp.sum(g_recv * d_send, axis=-1), 0.0)
+        v = jnp.where(edge_mask, values, 0.0)
+        ddense = _scatter_corner(v[:, None] * g_recv, c_local, c_chunk,
+                                 arrs[n_f:], ps_inv, n_pad, prec, interpret,
+                                 exact)
+        return (dvalues, ddense, None, None, None, None, None, None, None,
+                None, None, None) + (None,) * len(arrs)
+
+    op.defvjp(fwd, bwd)
+    return op
+
+
 def panel_spmm_graph(values, dense, graph, layout: PanelLayout,
-                     *, precision: str = "fastest",
+                     *, plans=None, precision: str = "fastest",
                      interpret: bool | None = None, mode: str = "onehot"):
-    """Graph-level wrapper: ``values`` in the graph's (stream) edge order."""
+    """Graph-level wrapper: ``values`` in the graph's (stream) edge order.
+    ``plans`` (ops.large.CscCsrPlans) swaps the XLA backward for the
+    gather-free corner backward (same forward kernel)."""
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
+    if plans is not None:
+        from pygat_tpu.ops.corner import flatten_plan
+
+        arr_f, ps_f = flatten_plan(plans.fwd)
+        arr_i, ps_i = flatten_plan(plans.inv)
+        op = _panel_corner_op(ps_f, ps_i, layout.n_panels, precision,
+                              interpret, mode)
+        return op(values, dense, layout.panel_tiles, layout.g_idx,
+                  layout.overflow_edges, graph.senders, graph.receivers,
+                  graph.edge_mask, graph.r_local, graph.r_chunk,
+                  graph.c_local, graph.c_chunk, *arr_f, *arr_i)
     return panel_spmm(
         values, dense, layout.panel_tiles, layout.g_idx,
         layout.overflow_edges, graph.senders, graph.receivers,

@@ -48,7 +48,7 @@ from jax.sharding import Mesh, PartitionSpec as P
 from jax import shard_map
 
 from pygat_tpu.graph import Graph
-from pygat_tpu.models.layers import DEN_MIN
+from pygat_tpu.models.layers import softmax_div
 from pygat_tpu.parallel.mesh import DATA_AXIS
 from pygat_tpu.utils.padding import round_up
 
@@ -438,9 +438,7 @@ def ring_gat_attention(
                 perm = [(i, (i + 1) % d) for i in range(d)]
                 w_buf = lax.ppermute(w_buf, DATA_AXIS, perm)
 
-        den = acc[:, hf:]
-        den = jnp.where(den > DEN_MIN, den, 1.0)
-        out = acc[:, :hf].reshape(n_local, h, f) / den[:, :, None]
+        out = softmax_div(acc[:, :hf].reshape(n_local, h, f), acc[:, hf:])
         return out.reshape(n_local, hf)
 
     return shard_map(
@@ -583,9 +581,7 @@ def ring_gat_attention_v2(
                 wi_buf = lax.ppermute(wi_buf, DATA_AXIS, perm)
                 wj_buf = lax.ppermute(wj_buf, DATA_AXIS, perm)
 
-        den = acc[:, hf:]
-        den = jnp.where(den > DEN_MIN, den, 1.0)
-        out = acc[:, :hf].reshape(n_local, h, f) / den[:, :, None]
+        out = softmax_div(acc[:, :hf].reshape(n_local, h, f), acc[:, hf:])
         return out.reshape(n_local, hf)
 
     return shard_map(

@@ -20,6 +20,7 @@ import optax
 from pygat_tpu.data.citation import CitationDataset
 from pygat_tpu.graph import Graph
 from pygat_tpu.models.gat import GATConfig, apply_gat, init_gat
+from pygat_tpu.ops.large import maybe_plan_corner
 from pygat_tpu.train import checkpoint as ckpt
 from pygat_tpu.train.logging import TrainLogger
 from pygat_tpu.train.metrics import (
@@ -35,7 +36,7 @@ from pygat_tpu.train.state import TrainState, init_state, make_optimizer
 
 def make_transductive_steps(
     cfg: GATConfig, tx: optax.GradientTransformation, tiles=None,
-    segment_impl: str | None = None, apply_fn=None,
+    segment_impl: str | None = None, apply_fn=None, plans=None,
 ):
     """Build (train_step, eval_step) jitted closures. ``tiles`` (a
     TiledGraph) routes dropout-free passes through the fused Pallas kernel
@@ -44,13 +45,15 @@ def make_transductive_steps(
     the GSPMD multi-device path passes 'scatter' because a Pallas custom
     call cannot be partition-propagated. ``apply_fn(params, x, graph, key,
     train)`` substitutes the forward (the ring halo-exchange path plugs in
-    here)."""
+    here). ``plans`` (ops.large.CscCsrPlans, see maybe_plan_corner) swaps
+    the fused layers' sender-window gather for the gather-free corner
+    build on million-node graphs."""
     from pygat_tpu.ops import segment as _seg
 
     if apply_fn is None:
         def apply_fn(params, x, graph, key, train):
             return apply_gat(params, cfg, x, graph, key, train=train,
-                             tiles=tiles)
+                             tiles=tiles, plans=plans)
 
     def _loss(params, x, graph, labels, idx, key, train):
         with _seg.use_impl(segment_impl):
@@ -210,8 +213,9 @@ def fit_transductive(
         from pygat_tpu.ops.tiles import tile_graph
 
         tiles = tile_graph(data.graph)
+    plans = maybe_plan_corner(data.graph) if mesh is None else None
     train_step, eval_step = make_transductive_steps(
-        cfg, tx, tiles=tiles, apply_fn=apply_fn,
+        cfg, tx, tiles=tiles, apply_fn=apply_fn, plans=plans,
         # the ring path keeps the stream kernel under distribution
         segment_impl=None if apply_fn else _mesh_segment_impl(mesh),
     )
@@ -1011,6 +1015,7 @@ def make_scanned_epochs(
 def make_scanned_epochs_with_best(
     cfg: GATConfig, tx: optax.GradientTransformation, n_epochs: int, tiles=None,
     fastmode: bool = False, segment_impl: str | None = None, apply_fn=None,
+    plans=None,
 ):
     """Chunked fast path: K epochs per dispatch AND on-device tracking of the
     best-validation-loss parameters (the reference's save-every-epoch +
@@ -1021,7 +1026,7 @@ def make_scanned_epochs_with_best(
     if apply_fn is None:
         def apply_fn(params, x, graph, key, train):
             return apply_gat(params, cfg, x, graph, key, train=train,
-                             tiles=tiles)
+                             tiles=tiles, plans=plans)
 
     def _loss(params, x, graph, labels, idx, key, train):
         with _seg.use_impl(segment_impl):
@@ -1114,15 +1119,17 @@ def fit_transductive_fast(
         from pygat_tpu.ops.tiles import tile_graph
 
         tiles = tile_graph(data.graph)
+    plans = maybe_plan_corner(data.graph) if mesh is None else None
 
     # the ring path keeps the stream kernel under distribution
     seg_impl = None if apply_fn else _mesh_segment_impl(mesh)
     run = make_scanned_epochs_with_best(cfg, tx, epoch_chunk, tiles=tiles,
                                         fastmode=fastmode,
                                         segment_impl=seg_impl,
-                                        apply_fn=apply_fn)
+                                        apply_fn=apply_fn, plans=plans)
     _, eval_step = make_transductive_steps(
-        cfg, tx, tiles=tiles, segment_impl=seg_impl, apply_fn=apply_fn
+        cfg, tx, tiles=tiles, segment_impl=seg_impl, apply_fn=apply_fn,
+        plans=plans,
     )
 
     x, g, labels = data.features, data.graph, data.labels

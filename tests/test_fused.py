@@ -225,3 +225,74 @@ def test_fused_empty_tiles_and_bucketed_shapes():
     scale = float(jnp.abs(gr_p).max()) + 1e-6
     np.testing.assert_allclose(np.asarray(gr_f), np.asarray(gr_p),
                                atol=5e-5 * scale)
+
+
+def test_softmax_div_backward_stable_in_den_danger_band():
+    """Regression: the clamp alone is not enough. With den just above
+    DEN_MIN, the naive division VJP associates g/den^2 first, which
+    overflows to inf; mixed-sign inf terms then cancel to NaN in the sum
+    over F, poisoning every upstream gradient (observed end-to-end as NaN
+    W/a grads on large-spread features at dropout 0.6). softmax_div's
+    custom VJP forms -sum(g*out)/den — one power of den — and must stay
+    finite AND match the exact (float64) cotangents across the band."""
+    from pygat_tpu.models.layers import softmax_div
+
+    rng = np.random.default_rng(7)
+    dens = np.array([2e-18, 1e-17, 1e-15, 1e-12, 1e-6, 1.0, 0.0, 1e-19],
+                    dtype=np.float32)  # last two: clamped rows
+    n, h, f = dens.shape[0], 2, 8
+    den = jnp.asarray(np.tile(dens[:, None], (1, h)))
+    # agg rows scaled like real numerators: |agg| <= ~2.5 * den * |msg|
+    msg = rng.standard_normal((n, h, f)).astype(np.float32) * 40
+    agg = jnp.asarray(dens[:, None, None] * msg)
+    g_up = jnp.asarray(rng.standard_normal((n, h, f)).astype(np.float32)
+                       * 2e4)
+
+    def loss(agg_, den_):
+        return jnp.sum(softmax_div(agg_, den_) * g_up)
+
+    d_agg, d_den = jax.grad(loss, argnums=(0, 1))(agg, den)
+    assert bool(jnp.isfinite(d_agg).all())
+    assert bool(jnp.isfinite(d_den).all())
+    # exact values from float64 (clamped rows contribute zero den-grad)
+    live = dens > 1e-18
+    den64 = np.where(live, dens, 1.0)[:, None].astype(np.float64)
+    a64 = np.asarray(agg, np.float64)
+    g64 = np.asarray(g_up, np.float64)
+    ref_agg = g64 / den64[:, :, None]
+    ref_den = np.where(live[:, None],
+                       -(g64 * a64).sum(-1) / den64 ** 2, 0.0)
+    np.testing.assert_allclose(np.asarray(d_agg, np.float64), ref_agg,
+                               rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(d_den, np.float64), ref_den,
+                               rtol=1e-4)
+
+
+def test_large_spread_features_train_grads_finite():
+    """End-to-end repro of the den-danger-band NaN: unnormalized
+    standard-normal features at f_in=128 with dropout 0.6 push the
+    bound-shifted softmax denominators of many rows into (1e-18, 1e-12);
+    before softmax_div, the 2-layer fused v1 train backward returned NaN
+    for every layer-0 parameter (W: all 8192 entries) on this exact
+    graph/key. Must be finite for v1 AND v2, fused and unfused."""
+    rng = np.random.default_rng(72)
+    n, f = 3000, 128
+    s = np.concatenate([rng.integers(0, n, n * 5), np.arange(n)])
+    r = np.concatenate([rng.integers(0, n, n * 5), np.arange(n)])
+    g = build_graph(s, r, None, n)
+    x = jnp.asarray(
+        rng.standard_normal((g.num_nodes_padded, f)).astype(np.float32))
+
+    for lt in ("GAT_sparse", "GATv2_sparse"):
+        cfg = GATConfig(nlayers=2, nheads=(8, 1), nfeats=(f, 8, 7),
+                        dropout=0.6, alpha=0.2, layer_type=lt)
+        params = init_gat(jax.random.PRNGKey(72), cfg)
+
+        def loss(p, key):
+            with seg.use_impl("stream"):
+                out = apply_gat(p, cfg, x, g, key, train=True)
+            return jnp.sum(out[:n] ** 2)
+
+        grads = jax.jit(jax.grad(loss))(params, jax.random.PRNGKey(1))
+        flat = ravel_pytree(grads)[0]
+        assert bool(jnp.isfinite(flat).all()), lt

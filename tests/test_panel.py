@@ -81,3 +81,32 @@ def test_panel_empty_tiles():
     assert np.isfinite(got).all()
     np.testing.assert_allclose(got, want, atol=1e-4 * np.abs(want).max())
     assert np.abs(got[192:]).max() == 0.0  # tiles past the real rows
+
+
+def test_panel_corner_backward_matches(clustered):
+    """plans= swaps the panel backward for the gather-free corner route
+    (expand + corner-turn + CSC stream scatter): forward must be identical
+    and grads must match the XLA backward."""
+    from pygat_tpu.ops.large import plan_csc_to_csr
+
+    g, x, w, _ = clustered
+    lay = build_panel_layout(g)
+    plans = plan_csc_to_csr(g)
+
+    out_c = panel_spmm_graph(w, x, g, lay, plans=plans, precision="high")
+    out_x = panel_spmm_graph(w, x, g, lay, precision="high")
+    np.testing.assert_allclose(np.asarray(out_c), np.asarray(out_x))
+
+    def f(fn):
+        return jax.grad(lambda v, d: (fn(v, d) ** 2).sum(), argnums=(0, 1))
+
+    gw_c, gx_c = f(lambda v, d: panel_spmm_graph(
+        v, d, g, lay, plans=plans, precision="high"))(w, x)
+    gw_x, gx_x = f(lambda v, d: panel_spmm_graph(
+        v, d, g, lay, precision="high"))(w, x)
+    sw = float(jnp.abs(gw_x).max())
+    sx = float(jnp.abs(gx_x).max())
+    np.testing.assert_allclose(np.asarray(gw_c), np.asarray(gw_x),
+                               atol=3e-3 * sw)
+    np.testing.assert_allclose(np.asarray(gx_c), np.asarray(gx_x),
+                               atol=3e-3 * sx)
