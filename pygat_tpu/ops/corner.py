@@ -200,10 +200,25 @@ def _make_permute_kernel(p: int, l: int, mode: str, interpret: bool,
         panel_refs, out_ref = refs[:p], refs[p]
         t = pl.program_id(0)
         g = g_ref[0, t % 8, :]  # [TILE] source offsets within the span
-        panels = jnp.concatenate([r[...] for r in panel_refs], axis=0)
         if mode == "take":
-            out_ref[:] = jnp.take(panels, g, axis=0).astype(jnp.float32)
+            # Mosaic's only gather lowering is the same-shape
+            # take_along_axis form (tpu.dynamic_gather); a [p*TILE, l] ->
+            # [TILE, l] row take is rejected ("Shape mismatch in input,
+            # indices and output"). Gather each TILE-row panel with
+            # clamped per-lane indices and select the owning panel;
+            # out-of-span rows stay 0 (overwritten by the ov fix-up).
+            gcol = jnp.broadcast_to(g[:, None], (TILE, l))
+            out = jnp.zeros((TILE, l), jnp.float32)
+            for k in range(p):
+                pk = panel_refs[k][...].astype(jnp.float32)
+                lidx = jnp.clip(gcol - k * TILE, 0, TILE - 1)
+                got = jnp.take_along_axis(pk, lidx, axis=0,
+                                          mode="promise_in_bounds")
+                own = (gcol >= k * TILE) & (gcol < (k + 1) * TILE)
+                out = jnp.where(own, got, out)
+            out_ref[:] = out
         else:
+            panels = jnp.concatenate([r[...] for r in panel_refs], axis=0)
             lanes = jax.lax.broadcasted_iota(jnp.int32, (TILE, p * TILE), 1)
             ohf = (lanes == g[:, None]).astype(jnp.float32)
             if exact:  # permutation rows are 0/1-exact even in bf16,

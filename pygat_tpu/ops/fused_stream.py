@@ -134,8 +134,12 @@ def _rounder(two_limb: bool, interpret: bool):
 def _draw_keepq(seed_ref, i: int, h: int, keep: float):
     """In-kernel attention keep/(1-p) factors: per-chunk-seeded TPU PRNG
     (no [E, H] mask tensor is read from HBM). COMPILED TPU ONLY —
-    pltpu.prng_seed has no interpret lowering (CLAUDE.md)."""
-    pltpu.prng_seed(seed_ref[0], seed_ref[1], i)
+    pltpu.prng_seed has no interpret lowering (CLAUDE.md). The libtpu on
+    this image rejects >2 seed words, so the chunk index is mixed into the
+    second word with a golden-ratio odd multiplier (distinct per chunk
+    within a call; cross-call independence comes from the fresh per-call
+    (s0, s1) pair)."""
+    pltpu.prng_seed(seed_ref[0], seed_ref[1] + i * jnp.int32(-1640531527))
     bits = pltpu.prng_random_bits((EC, TILE))  # full lanes; slice to H
     thresh = jnp.uint32(min(int(keep * 2 ** 32), 2 ** 32 - 1))
     mask = bits[:, :h].astype(jnp.uint32) < thresh
@@ -185,8 +189,11 @@ def _make_v1_kernel(alpha: float, h: int, hf: int, two_limb: bool,
         # num would be a harmless 1, but corner-built windows
         # (ops/fused_corner.py) carry UNSPECIFIED row copies whose
         # unbounded logit can exp to inf — and inf * 0 in the MXU dot is
-        # NaN. One [EC, H] select; measured noise-level.
-        live = (loc < TILE)[:, None]
+        # NaN. One [EC, H] select; measured noise-level. Broadcast the i32
+        # BEFORE comparing: reshaping a 1D i1 vector to [EC, 1] is not
+        # lowerable by Mosaic ("insertion of minor dim ... only supported
+        # for 32-bit types").
+        live = loc[:, None] < TILE
         num = jnp.where(live, jnp.exp(logits - fde[:, h:]), 0.0)  # [EC, H]
         if rng_keep is not None:
             keepq = _draw_keepq(seed_ref, i, h, rng_keep)
@@ -248,8 +255,9 @@ def _make_v2_kernel(alpha: float, h: int, hf: int, two_limb: bool,
         logits = jnp.dot(mm(pre), mm(abd_ref[...]),
                          preferred_element_type=jnp.float32)  # [EC, H]
         # kill dead-slot numerators (see _make_v1_kernel: corner-built
-        # windows carry unspecified rows; exp can inf and 0 * inf = NaN)
-        live = (loc < TILE)[:, None]
+        # windows carry unspecified rows; exp can inf and 0 * inf = NaN;
+        # 2D i32 compare — a 1D i1 [:, None] reshape won't lower in Mosaic)
+        live = loc[:, None] < TILE
         num = jnp.where(live, jnp.exp(logits - wiub_e[:, hf:]), 0.0)
         if rng_keep is not None:
             keepq = _draw_keepq(seed_ref, i, h, rng_keep)

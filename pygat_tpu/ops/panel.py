@@ -156,12 +156,29 @@ def _make_spmm_kernel(p: int, l_pad: int, two_limb: bool, interpret: bool,
         gi = gidx_ref[0, i % 8, :]  # [EC]
         loc = local_ref[0, i % 8, :]
         w = w_ref[0, i % 8, :]
-        panels = jnp.concatenate([r[...] for r in panel_refs], axis=0)
 
         if mode == "take":
-            gath = jnp.take(panels, jnp.minimum(gi, p * TILE - 1), axis=0,
-                            ).astype(jnp.float32)  # [EC, L]
+            # Mosaic's only gather lowering is the same-shape
+            # take_along_axis form (tpu.dynamic_gather), so gather in
+            # [TILE, L] units: per EC//TILE index slab, per panel, with
+            # clamped per-lane indices + owning-panel select. Overflow /
+            # dead slots (gi >= p*TILE) stay 0 — they carry w == 0 anyway.
+            parts = []
+            for j in range(EC // TILE):
+                gj = gi[j * TILE:(j + 1) * TILE]
+                gcol = jnp.broadcast_to(gj[:, None], (TILE, l_pad))
+                sub = jnp.zeros((TILE, l_pad), jnp.float32)
+                for k in range(p):
+                    pk = panel_refs[k][...].astype(jnp.float32)
+                    lidx = jnp.clip(gcol - k * TILE, 0, TILE - 1)
+                    got = jnp.take_along_axis(pk, lidx, axis=0,
+                                              mode="promise_in_bounds")
+                    own = (gcol >= k * TILE) & (gcol < (k + 1) * TILE)
+                    sub = jnp.where(own, got, sub)
+                parts.append(sub)
+            gath = jnp.concatenate(parts, axis=0)  # [EC, L]
         else:
+            panels = jnp.concatenate([r[...] for r in panel_refs], axis=0)
             lanes = jax.lax.broadcasted_iota(jnp.int32, (EC, p * TILE), 1)
             oh = (lanes == gi[:, None]).astype(jnp.float32)
             gath = jnp.dot(vr(oh), mm(panels),

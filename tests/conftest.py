@@ -25,6 +25,14 @@ import jax  # noqa: E402
 
 if not _TPU_MODE:
     jax.config.update("jax_platforms", "cpu")
+else:
+    # Parity tests compare kernel outputs against XLA reference paths at
+    # f32 tolerances; TPU's DEFAULT matmul precision is one bf16 pass,
+    # which drowns those comparisons in ~1e-3 rounding noise. Force exact
+    # f32 matmuls for the XLA sides so the tests verify the Mosaic
+    # lowering, not bf16 noise. (The Pallas kernels control their own
+    # operand rounding explicitly and are unaffected.)
+    jax.config.update("jax_default_matmul_precision", "highest")
 jax.config.update("jax_enable_x64", False)
 
 if not _TPU_MODE:

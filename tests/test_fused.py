@@ -58,8 +58,11 @@ def test_fused_matches_scatter(setup, lt):
     g, x = setup
     cfg = _cfg(lt)
     params = init_gat(jax.random.PRNGKey(0), cfg)
+    # scoped impl only inside _run: the global default (off on the CPU
+    # mesh, on on TPU where stream is the auto impl) must be untouched
+    before = fs.fused_enabled(g)
     out_f, gr_f = _run(params, cfg, x, g, "stream")
-    assert fs.fused_enabled(g) is False  # scoped impl only inside _run
+    assert fs.fused_enabled(g) is before
     out_p, gr_p = _run(params, cfg, x, g, "scatter")
     np.testing.assert_allclose(np.asarray(out_f), np.asarray(out_p),
                                atol=2e-4, rtol=1e-4)
