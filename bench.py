@@ -20,10 +20,9 @@ Backends timed (details on stderr):
                per-edge attention in XLA (the round-2 default);
 * ``xla``    — XLA scatter-add segment sums (the round-1 default).
 
-The round-1 BCSR one-hot kernel (``pallas-bcsr``) was demoted to the test
-suite in round 3 after losing to the stream path in every round-2 bench
-(6.29 vs 2.70 ms — BENCH_r02.json); `benchmarks/bench_epoch.py` can still
-time it.
+The round-1 BCSR one-hot kernel (``pallas-bcsr``) was retired to
+tests/legacy_bcsr in round 4 after losing to the stream path in every
+round-2 bench (6.29 vs 2.70 ms — BENCH_r02.json).
 """
 
 from __future__ import annotations
@@ -42,13 +41,11 @@ def _time_backend(backend: str) -> float:
     from pygat_tpu.data.citation import load_citation
     from pygat_tpu.models.gat import GATConfig, init_gat
     from pygat_tpu.models.presets import PRESETS, TRAIN_PRESETS
-    from pygat_tpu.ops.dispatch import set_backend
     from pygat_tpu.ops.fused_stream import set_fused_attention
     from pygat_tpu.ops.segment import set_segment_impl
     from pygat_tpu.train.loop import make_scanned_epochs
     from pygat_tpu.train.state import init_state, make_optimizer
 
-    set_backend("xla")
     if backend == "fused":
         set_segment_impl("stream")
         set_fused_attention("on")

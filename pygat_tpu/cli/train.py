@@ -43,8 +43,8 @@ def build_parser() -> argparse.ArgumentParser:
                    help="sparse kernel backend: stream = fused Pallas "
                         "attention + stream-scatter segment sums (TPU "
                         "default), xla = scatter lowering (the round-1 "
-                        "BCSR kernel is comparison-only; see "
-                        "benchmarks/bench_epoch.py)")
+                        "BCSR kernel was retired to tests/legacy_bcsr "
+                        "in round 4)")
     p.add_argument("--corner", type=str, default=None,
                    choices=["auto", "on", "off"],
                    help="gather-free fused-attention window build for "
@@ -99,19 +99,14 @@ def main(argv=None) -> int:
     from pygat_tpu.data.citation import dataset_stats, load_citation
     from pygat_tpu.models.gat import GATConfig
     from pygat_tpu.models.presets import PRESETS, TRAIN_PRESETS
-    from pygat_tpu.ops.dispatch import set_backend
     from pygat_tpu.train.logging import TrainLogger
     from pygat_tpu.train.loop import fit_transductive, fit_transductive_fast
 
     if args.backend:
         from pygat_tpu.ops.segment import set_segment_impl
 
-        if args.backend == "stream":
-            set_backend("xla")
-            set_segment_impl("stream")
-        else:
-            set_backend(args.backend)
-            set_segment_impl("scatter")
+        # 'stream' = Pallas stream/fused pipeline, 'xla' = scatter lowering
+        set_segment_impl("stream" if args.backend == "stream" else "scatter")
     if args.corner:
         from pygat_tpu.ops.large import set_corner
 

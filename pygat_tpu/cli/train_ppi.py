@@ -64,7 +64,6 @@ def main(argv=None) -> int:
     from pygat_tpu.data.ppi import load_ppi
     from pygat_tpu.models.gat import GATConfig
     from pygat_tpu.models.presets import PRESETS, TRAIN_PRESETS
-    from pygat_tpu.ops.dispatch import set_backend
     from pygat_tpu.train.logging import TrainLogger
     from pygat_tpu.train.loop import (
         fit_inductive,
@@ -76,12 +75,8 @@ def main(argv=None) -> int:
     if args.backend:
         from pygat_tpu.ops.segment import set_segment_impl
 
-        if args.backend == "stream":
-            set_backend("xla")
-            set_segment_impl("stream")
-        else:
-            set_backend(args.backend)
-            set_segment_impl("scatter")
+        # 'stream' = Pallas stream/fused pipeline, 'xla' = scatter lowering
+        set_segment_impl("stream" if args.backend == "stream" else "scatter")
 
     data = load_ppi(data_root=args.data_root)
     print(f"PPI graphs: {len(data.train)} train / {len(data.valid)} valid / "

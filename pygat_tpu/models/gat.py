@@ -119,48 +119,23 @@ def apply_gat(
     rng: jax.Array,
     *,
     train: bool,
-    tiles: Any = None,  # ops.tiles.TiledGraph enables the fused Pallas path
     plans: Any = None,  # ops.large.CscCsrPlans: gather-free sparse layers
-    backend: str | None = None,
-    interpret: bool = False,
 ) -> jax.Array:
     """Forward pass; returns raw per-node outputs [N_pad, n_classes]
     (final layer has concat=False, so no activation — reference models.py:34;
     the transductive loss head adds ELU + log_softmax, train.py:151-152).
 
-    Backend: 'xla' (segment ops) or 'pallas' (fused MXU kernel; sparse v1,
-    dropout-free passes — training with dropout falls back to xla until
-    in-kernel dropout lands). Default from ops.dispatch.get_backend().
+    Sparse layers take exactly two paths: the fused/stream Pallas pipeline
+    (PYGAT_FUSED_ATTENTION / PYGAT_SEGMENT_IMPL, the TPU default) or the XLA
+    scatter fallback — selected inside ops.segment / ops.fused_stream. The
+    round-1 BCSR kernel was retired to tests/legacy_bcsr in round 4.
     """
-    from pygat_tpu.models.layers import gat_v1_sparse_all_heads
-    from pygat_tpu.ops.dispatch import get_backend
     from pygat_tpu.utils.platform import dropout_key
 
     if train and cfg.dropout > 0.0:
         # hardware RNG (rbg) on TPU: threefry mask generation would dominate
         # the train step (~19 ms vs ~2 ms for Pubmed-scale per-head masks)
         rng = dropout_key(rng)
-
-    use_fused = (
-        get_backend(backend) == "pallas"
-        and tiles is not None
-        and cfg.layer_type == "GAT_sparse"
-    )
-    if use_fused:
-        h = x
-        for i, layer_params in enumerate(params):
-            concat = i < cfg.nlayers - 1
-            rng, layer_key = jax.random.split(rng)
-            outs = gat_v1_sparse_all_heads(
-                layer_params, h, graph, tiles, layer_key,
-                alpha=cfg.alpha, drop=cfg.dropout, concat=concat,
-                train=train, interpret=interpret,
-            )
-            if concat:
-                h = jnp.moveaxis(outs, 0, 1).reshape(outs.shape[1], -1)
-            else:
-                h = jnp.mean(outs, axis=0)
-        return h
 
     if cfg.is_sparse:
         # head-batched TPU-layout path: heads folded into the minor axis

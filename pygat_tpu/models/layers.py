@@ -777,57 +777,3 @@ def gat_v2_sparse_heads(
 
     return _heads_tail(out, params, h, x_h, concat)
 
-
-def gat_v1_sparse_all_heads(
-    params: V1Params,  # stacked [H, ...] leaves
-    h: jax.Array,  # [N, F_in]
-    graph: Graph,
-    tiles,  # pygat_tpu.ops.tiles.TiledGraph
-    rng,
-    *,
-    alpha: float,
-    drop: float,
-    concat: bool,
-    train: bool,
-    interpret: bool = False,
-) -> jax.Array:
-    """Head-batched sparse GATv1 through the fused Pallas kernel.
-
-    Semantics match ``gat_v1_sparse`` incl. dropout placement (per-head
-    input and post-projection masks; attention dropout applied to the
-    numerator with a pre-dropout denominator). One deliberate divergence:
-    the attention-dropout mask is shared across heads on this path (the
-    vmapped XLA path draws per-head masks). Returns [H, N, F_out].
-    """
-    from pygat_tpu.ops.sparse_attention import gat_attention_v1
-
-    n_heads = params.W.shape[0]
-    f_out = params.W.shape[-1]
-    k_in, k_proj, k_att = jax.random.split(rng, 3)
-    use_drop = train and drop > 0.0
-    if use_drop:
-        # one batched draw per site (vmapped per-head keys serialize the
-        # hardware rng-bit-generator; see DropoutMasks)
-        keep_in = jax.random.bernoulli(k_in, 1.0 - drop, (n_heads,) + h.shape)
-        x_h = jnp.where(keep_in, h / (1.0 - drop), 0.0)  # [H, N, F_in]
-        wh = jnp.einsum("hnf,hfo->hno", x_h, params.W)
-        keep_proj = jax.random.bernoulli(k_proj, 1.0 - drop, wh.shape)
-        wh = jnp.where(keep_proj, wh / (1.0 - drop), 0.0)
-    else:
-        x_h = None
-        wh = jnp.einsum("nf,hfo->hno", h, params.W)
-
-    f_dst = jnp.einsum("hno,ho->hn", wh, params.a[:, :f_out])
-    f_src = jnp.einsum("hno,ho->hn", wh, params.a[:, f_out:])
-    out = gat_attention_v1(
-        f_dst, f_src, wh, graph, tiles, alpha=alpha, backend="pallas",
-        interpret=interpret, dropout_rate=drop, dropout_rng=k_att, train=train,
-    )
-    if params.skip is not None:
-        if x_h is not None:
-            out = out + jnp.einsum("hnf,hfo->hno", x_h, params.skip)
-        else:
-            out = out + jnp.einsum("nf,hfo->hno", h, params.skip)
-    if concat:
-        out = jax.nn.elu(out)
-    return out

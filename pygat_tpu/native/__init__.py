@@ -1,8 +1,8 @@
 """Native (C++) host-side graph ops with transparent NumPy fallback.
 
 The compute path is JAX/XLA/Pallas on TPU; this module is the native
-runtime around it: CSR construction, RCM locality reordering (feeds the
-BCSR tiling in pygat_tpu.ops.tiles), and normalized-weight computation —
+runtime around it: CSR construction, RCM locality reordering (feeds the panel-gather kernel's
+locality requirement, pygat_tpu.ops.panel), and normalized-weight computation —
 see csrc/graphops.cpp. Loaded via ctypes; if the shared library is absent
 it is built on demand with g++, and if that fails every entry point falls
 back to vectorized NumPy with identical results.

@@ -27,7 +27,6 @@ from pygat_tpu.ops.stream import (  # noqa: F401
     stream_scatter,
     stream_segment_sum,
 )
-from pygat_tpu.ops.dispatch import get_backend, set_backend  # noqa: F401
 from pygat_tpu.ops.fused_stream import (  # noqa: F401
     fused_v1_attention,
     fused_v2_attention,

@@ -35,12 +35,10 @@ from pygat_tpu.train.state import TrainState, init_state, make_optimizer
 
 
 def make_transductive_steps(
-    cfg: GATConfig, tx: optax.GradientTransformation, tiles=None,
+    cfg: GATConfig, tx: optax.GradientTransformation,
     segment_impl: str | None = None, apply_fn=None, plans=None,
 ):
-    """Build (train_step, eval_step) jitted closures. ``tiles`` (a
-    TiledGraph) routes dropout-free passes through the fused Pallas kernel
-    when the 'pallas' backend is selected. ``segment_impl`` pins the
+    """Build (train_step, eval_step) jitted closures. ``segment_impl`` pins the
     segment lowering for these steps only (scoped, not process-global) —
     the GSPMD multi-device path passes 'scatter' because a Pallas custom
     call cannot be partition-propagated. ``apply_fn(params, x, graph, key,
@@ -53,7 +51,7 @@ def make_transductive_steps(
     if apply_fn is None:
         def apply_fn(params, x, graph, key, train):
             return apply_gat(params, cfg, x, graph, key, train=train,
-                             tiles=tiles, plans=plans)
+                             plans=plans)
 
     def _loss(params, x, graph, labels, idx, key, train):
         with _seg.use_impl(segment_impl):
@@ -179,8 +177,6 @@ def fit_transductive(
     ppermute halo exchange with per-shard stream kernels
     (parallel.ring_model) — the multi-chip fast path. Same math either way.
     """
-    from pygat_tpu.ops.dispatch import get_backend
-
     logger = logger or TrainLogger()
     tx = make_optimizer(lr, weight_decay)
     key = jax.random.PRNGKey(seed)
@@ -208,14 +204,9 @@ def fit_transductive(
         if partition == "ring":
             data, apply_fn = _ring_setup(cfg, data, mesh)
         data, state = _enter_mesh(data, state, mesh)
-    tiles = None
-    if get_backend() == "pallas" and cfg.layer_type == "GAT_sparse":
-        from pygat_tpu.ops.tiles import tile_graph
-
-        tiles = tile_graph(data.graph)
     plans = maybe_plan_corner(data.graph) if mesh is None else None
     train_step, eval_step = make_transductive_steps(
-        cfg, tx, tiles=tiles, apply_fn=apply_fn, plans=plans,
+        cfg, tx, apply_fn=apply_fn, plans=plans,
         # the ring path keeps the stream kernel under distribution
         segment_impl=None if apply_fn else _mesh_segment_impl(mesh),
     )
@@ -966,7 +957,7 @@ def fit_inductive_banked(
 
 
 def make_scanned_epochs(
-    cfg: GATConfig, tx: optax.GradientTransformation, n_epochs: int, tiles=None,
+    cfg: GATConfig, tx: optax.GradientTransformation, n_epochs: int,
     fastmode: bool = False, segment_impl: str | None = None,
 ):
     """One jitted program that runs ``n_epochs`` full train(+eval) epochs via
@@ -983,8 +974,7 @@ def make_scanned_epochs(
 
     def _loss(params, x, graph, labels, idx, key, train):
         with _seg.use_impl(segment_impl):
-            out = apply_gat(params, cfg, x, graph, key, train=train,
-                            tiles=tiles)
+            out = apply_gat(params, cfg, x, graph, key, train=train)
         lp = log_logits(out)
         return nll_loss(lp[idx], labels[idx]), (accuracy(lp[idx], labels[idx]), lp)
 
@@ -1013,7 +1003,7 @@ def make_scanned_epochs(
 
 
 def make_scanned_epochs_with_best(
-    cfg: GATConfig, tx: optax.GradientTransformation, n_epochs: int, tiles=None,
+    cfg: GATConfig, tx: optax.GradientTransformation, n_epochs: int,
     fastmode: bool = False, segment_impl: str | None = None, apply_fn=None,
     plans=None,
 ):
@@ -1026,7 +1016,7 @@ def make_scanned_epochs_with_best(
     if apply_fn is None:
         def apply_fn(params, x, graph, key, train):
             return apply_gat(params, cfg, x, graph, key, train=train,
-                             tiles=tiles, plans=plans)
+                             plans=plans)
 
     def _loss(params, x, graph, labels, idx, key, train):
         with _seg.use_impl(segment_impl):
@@ -1100,8 +1090,6 @@ def fit_transductive_fast(
     the header carries the val-loss history (for the patience policy) and
     the best-val bookkeeping; the best parameters reload from the
     ``{tag}-best`` checkpoint refreshed at every chunk boundary."""
-    from pygat_tpu.ops.dispatch import get_backend
-
     logger = logger or TrainLogger()
     tx = make_optimizer(lr, weight_decay)
     key = jax.random.PRNGKey(seed)
@@ -1114,21 +1102,16 @@ def fit_transductive_fast(
             data, apply_fn = _ring_setup(cfg, data, mesh)
         data, state = _enter_mesh(data, state, mesh)
         params = state.params
-    tiles = None
-    if get_backend() == "pallas" and cfg.layer_type == "GAT_sparse":
-        from pygat_tpu.ops.tiles import tile_graph
-
-        tiles = tile_graph(data.graph)
     plans = maybe_plan_corner(data.graph) if mesh is None else None
 
     # the ring path keeps the stream kernel under distribution
     seg_impl = None if apply_fn else _mesh_segment_impl(mesh)
-    run = make_scanned_epochs_with_best(cfg, tx, epoch_chunk, tiles=tiles,
+    run = make_scanned_epochs_with_best(cfg, tx, epoch_chunk,
                                         fastmode=fastmode,
                                         segment_impl=seg_impl,
                                         apply_fn=apply_fn, plans=plans)
     _, eval_step = make_transductive_steps(
-        cfg, tx, tiles=tiles, segment_impl=seg_impl, apply_fn=apply_fn,
+        cfg, tx, segment_impl=seg_impl, apply_fn=apply_fn,
         plans=plans,
     )
 

@@ -38,7 +38,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from pygat_tpu.ops.tiles import EDGE_CHUNK, TILE, TiledGraph
+from tests.legacy_bcsr.tiles import EDGE_CHUNK, TILE, TiledGraph
 
 NEG = -1e30
 LANE = 128

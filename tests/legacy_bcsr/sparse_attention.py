@@ -32,14 +32,14 @@ import jax
 import jax.numpy as jnp
 
 from pygat_tpu.graph import Graph
-from pygat_tpu.ops.fused_attention import fused_gat_attention_fwd
+from tests.legacy_bcsr.fused_attention import fused_gat_attention_fwd
 from pygat_tpu.ops.segment import (
     segment_softmax_stable,
     segment_sum,
     sender_segment_sum,
     sorted_segment_sum,
 )
-from pygat_tpu.ops.tiles import TILE, TiledGraph
+from tests.legacy_bcsr.tiles import TILE, TiledGraph
 
 
 def _attention_weights(f_dst, f_src, senders, receivers, edge_mask, alpha, n_pad,

@@ -99,7 +99,7 @@ def test_reorder_is_isomorphic_and_packs_tiles():
     import jax.numpy as jnp
 
     from pygat_tpu.models.gat import GATConfig, apply_gat, init_gat
-    from pygat_tpu.ops.tiles import tile_graph, tile_stats
+    from tests.legacy_bcsr.tiles import tile_graph, tile_stats
 
     a = load_citation("cora")
     b = load_citation("cora", reorder=True)

@@ -10,8 +10,8 @@ import pytest
 from pygat_tpu.graph import build_graph
 from pygat_tpu.ops.sddmm import sddmm_graph
 from pygat_tpu.ops.spmm import spmm_graph
-from pygat_tpu.ops.sparse_attention import _xla_forward, gat_attention_v1
-from pygat_tpu.ops.tiles import EDGE_CHUNK, tile_graph, tile_stats
+from tests.legacy_bcsr.sparse_attention import _xla_forward, gat_attention_v1
+from tests.legacy_bcsr.tiles import EDGE_CHUNK, tile_graph, tile_stats
 
 
 @pytest.fixture

@@ -6,7 +6,7 @@ import pytest
 
 from pygat_tpu import native
 from pygat_tpu.graph import build_graph
-from pygat_tpu.ops.tiles import tile_graph, tile_stats
+from tests.legacy_bcsr.tiles import tile_graph, tile_stats
 
 
 @pytest.fixture(scope="module")

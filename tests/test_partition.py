@@ -10,7 +10,7 @@ import pytest
 
 from pygat_tpu.graph import build_graph
 from pygat_tpu.ops import segment as seg
-from pygat_tpu.ops.sparse_attention import _xla_forward
+from tests.legacy_bcsr.sparse_attention import _xla_forward
 from pygat_tpu.parallel import make_mesh
 from pygat_tpu.parallel.partition import (
     EdgePartition,
