@@ -506,33 +506,11 @@ def gat_v1_sparse_heads(
             # (no serialized row gather, forward or backward)
             from pygat_tpu.ops import fused_corner as _fcn
 
-            if use_drop and _fs.kernel_rng_enabled(interp):
-                seed2 = jax.lax.bitcast_convert_type(
-                    jax.random.bits(k_att, (2,), jnp.uint32), jnp.int32)
-                agg, den = _fcn.fused_v1_attention_corner_rng(
-                    wh, f_dst_n, bound, params.a[:, f_out:], seed2, graph,
-                    plans, alpha=alpha, keep=keep,
-                    precision=_seg._STREAM_PRECISION, interpret=interp,
-                )
-            else:
-                keepq = _att_keepq(k_att, keep, e_pad, n_heads, use_drop)
-                agg, den = _fcn.fused_v1_attention_corner(
-                    wh, f_dst_n, bound, params.a[:, f_out:], keepq, graph,
-                    plans, alpha=alpha, precision=_seg._STREAM_PRECISION,
-                    interpret=interp,
-                )
-            out = softmax_div(agg.reshape(n, n_heads, f_out), den)
-            return _heads_tail(out, params, h, x_h, concat)
-        if use_drop and _fs.kernel_rng_enabled(interp):
-            # attention mask drawn inside the kernel (per-chunk TPU PRNG
-            # seeds) — no [E, H] mask tensor read from HBM
-            seed2 = jax.lax.bitcast_convert_type(
-                jax.random.bits(k_att, (2,), jnp.uint32), jnp.int32)
-            agg, den = _fs.fused_v1_attention_rng(
-                wh, f_dst_n, bound, params.a[:, f_out:], seed2,
-                graph.senders, graph.receivers, graph.r_local,
-                graph.r_chunk, graph.c_slot, graph.c_local, graph.c_chunk,
-                alpha, keep, _seg._STREAM_PRECISION, interp,
+            keepq = _att_keepq(k_att, keep, e_pad, n_heads, use_drop)
+            agg, den = _fcn.fused_v1_attention_corner(
+                wh, f_dst_n, bound, params.a[:, f_out:], keepq, graph,
+                plans, alpha=alpha, precision=_seg._STREAM_PRECISION,
+                interpret=interp,
             )
             out = softmax_div(agg.reshape(n, n_heads, f_out), den)
             return _heads_tail(out, params, h, x_h, concat)
@@ -681,32 +659,12 @@ def gat_v2_sparse_heads(
             # million-node path (see the v1 branch / ops/fused_corner.py)
             from pygat_tpu.ops import fused_corner as _fcn
 
-            if use_drop and _fs.kernel_rng_enabled(interp):
-                seed2 = jax.lax.bitcast_convert_type(
-                    jax.random.bits(k_att, (2,), jnp.uint32), jnp.int32)
-                agg, den = _fcn.fused_v2_attention_corner_rng(
-                    whi, whj, ub, params.a, seed2, graph, plans,
-                    alpha=alpha, keep=keep,
-                    precision=_seg._STREAM_PRECISION, interpret=interp,
-                )
-            else:
-                keepq = _att_keepq(k_att if use_drop else None, keep, e_pad,
-                                   n_heads, use_drop)
-                agg, den = _fcn.fused_v2_attention_corner(
-                    whi, whj, ub, params.a, keepq, graph, plans,
-                    alpha=alpha, precision=_seg._STREAM_PRECISION,
-                    interpret=interp,
-                )
-            out = softmax_div(agg.reshape(n, n_heads, f_out), den)
-            return _heads_tail(out, params, h, x_h, concat)
-        if use_drop and _fs.kernel_rng_enabled(interp):
-            seed2 = jax.lax.bitcast_convert_type(
-                jax.random.bits(k_att, (2,), jnp.uint32), jnp.int32)
-            agg, den = _fs.fused_v2_attention_rng(
-                whi, whj, ub, params.a, seed2,
-                graph.senders, graph.receivers, graph.r_local,
-                graph.r_chunk, graph.c_slot, graph.c_local, graph.c_chunk,
-                alpha, keep, _seg._STREAM_PRECISION, interp,
+            keepq = _att_keepq(k_att if use_drop else None, keep, e_pad,
+                               n_heads, use_drop)
+            agg, den = _fcn.fused_v2_attention_corner(
+                whi, whj, ub, params.a, keepq, graph, plans,
+                alpha=alpha, precision=_seg._STREAM_PRECISION,
+                interpret=interp,
             )
             out = softmax_div(agg.reshape(n, n_heads, f_out), den)
             return _heads_tail(out, params, h, x_h, concat)

@@ -26,8 +26,8 @@ corner plans carry the whole graph structure.
 
 Use :func:`pygat_tpu.ops.large.plan_csc_to_csr` to build the plans once
 per graph; the layers accept them via ``plans=`` (models/layers.py) and
-route here when set. The ``_rng`` variants draw the attention dropout mask
-inside the kernel (per-chunk TPU PRNG seeds; compiled TPU only).
+route here when set. (The in-kernel-RNG twins were deleted in round 4:
+measured delta vs the [E, H] mask path was noise-level, ~0.1 ms on Pubmed.)
 
 Reference counterpart: the torch gather feeding SpecialSpmm
 (reference layers.py:141-160) at scales the reference cannot reach.
@@ -40,27 +40,22 @@ import functools as _functools
 import jax
 import jax.numpy as jnp
 
-from pygat_tpu.ops.corner import _apply_passes, flatten_plan
+from pygat_tpu.ops.corner import _apply_passes, default_permute_mode, flatten_plan
 from pygat_tpu.ops.fused_stream import (
     _block_diag_a,
     _const_spec,
-    _const_spec_rng,
     _expand_bd,
     _grid_call,
-    _grid_call_rng,
     _leaky,
     _make_v1_kernel,
     _make_v2_kernel,
     _tile_spec,
-    _tile_spec_rng,
     _win_dtype,
     _window_spec,
-    _window_spec_rng,
 )
 from pygat_tpu.ops.large import CscCsrPlans, _expand_impl
 from pygat_tpu.ops.stream import EC, TILE, stream_scatter
 
-_MODE = "take"  # corner-pass row selection (VMEM take ~ free; see corner.py)
 
 
 def _gather_corner(x, c_local, c_chunk, arrs_f, ps_f, e_pad: int,
@@ -68,7 +63,8 @@ def _gather_corner(x, c_local, c_chunk, arrs_f, ps_f, e_pad: int,
     """``x[senders]`` in receiver-stream order [e_pad, L] without any row
     gather: CSC expand (per-chunk single-tile) + forward corner-turn."""
     ex = _expand_impl(x, c_local, c_chunk, interpret)  # [E_s2, L] CSC order
-    return _apply_passes(ex, arrs_f, ps_f, _MODE, interpret, exact)[:e_pad]
+    return _apply_passes(ex, arrs_f, ps_f, default_permute_mode(interpret),
+                         interpret, exact)[:e_pad]
 
 
 def _scatter_corner(g_e, c_local, c_chunk, arrs_i, ps_i, n_pad: int,
@@ -79,7 +75,8 @@ def _scatter_corner(g_e, c_local, c_chunk, arrs_i, ps_i, n_pad: int,
     at dead CSC slots are killed by the scatter's one-hot."""
     e_s2 = c_local.shape[0]
     g_p = jnp.pad(g_e, ((0, e_s2 - g_e.shape[0]), (0, 0)))
-    g_csc = _apply_passes(g_p, arrs_i, ps_i, _MODE, interpret, exact)
+    g_csc = _apply_passes(g_p, arrs_i, ps_i, default_permute_mode(interpret),
+                          interpret, exact)
     return stream_scatter(g_csc, c_local, c_chunk, n_pad,
                           precision=precision, interpret=interpret)
 
@@ -90,9 +87,9 @@ def _scatter_corner(g_e, c_local, c_chunk, arrs_i, ps_i, n_pad: int,
 
 
 def _v1_bwd_body(ps_fwd, ps_inv, alpha, precision, interpret, res, cts):
-    """Shared backward of the v1 corner ops (keepq rides in the residuals
-    for the XLA-mask AND the in-kernel-rng variants): lane-minor recompute,
-    every edge-indexed move through expand / corner-turn / stream kernels."""
+    """Shared backward of the v1 corner op (keepq rides in the residuals):
+    lane-minor recompute, every edge-indexed move through expand /
+    corner-turn / stream kernels."""
     n_f = 4 * len(ps_fwd)
     exact = precision != "fastest"
     prec = "high" if exact else "fastest"
@@ -189,62 +186,6 @@ def _v1_corner_op(ps_fwd: tuple, ps_inv: tuple, alpha: float,
     return op
 
 
-@_functools.lru_cache(maxsize=None)
-def _v1_corner_rng_op(ps_fwd: tuple, ps_inv: tuple, alpha: float,
-                      keep: float, precision: str, interpret: bool):
-    """_v1_corner_op with the attention keep mask drawn INSIDE the kernel
-    from per-chunk TPU PRNG seeds — COMPILED TPU ONLY (pltpu.prng_seed has
-    no interpret lowering); the kernel writes the keep/(1-p) factors as a
-    residual so the shared XLA backward applies unchanged. Signature:
-    op(wh, f_dst, bound, a_src, seed2, r_local, r_chunk, c_local, c_chunk,
-    *fwd_arrays, *inv_arrays)."""
-    n_f = 4 * len(ps_fwd)
-    exact = precision != "fastest"
-
-    def _fwd_impl(wh, f_dst, bound, a_src, seed2, r_local, r_chunk,
-                  c_local, c_chunk, arrs):
-        n_pad, hf = wh.shape
-        h, f = a_src.shape
-        e = r_local.shape[0]
-        wdt = _win_dtype(precision)
-        gathered = _gather_corner(wh, c_local, c_chunk, arrs[:n_f], ps_fwd,
-                                  e, interpret, exact).astype(wdt)
-        fdb = jnp.concatenate([f_dst, bound], axis=1)
-        abd = _block_diag_a(a_src.astype(wdt))
-        exp_bd = _expand_bd(h, f)
-        local8 = r_local.reshape(e // EC // 8, 8, EC)
-        out, den, keepq = _grid_call_rng(
-            _make_v1_kernel(alpha, h, hf, exact, interpret, rng_keep=keep),
-            r_chunk, seed2,
-            [_window_spec_rng(hf)],
-            [gathered.reshape(e // EC, EC, hf)],
-            [_tile_spec_rng(2 * h)], [fdb],
-            [_const_spec_rng(hf, h), _const_spec_rng(h, hf)], [abd, exp_bd],
-            local8, n_pad, hf, h, interpret,
-        )
-        return out, den, keepq.reshape(e, h)
-
-    @jax.custom_vjp
-    def op(wh, f_dst, bound, a_src, seed2, r_local, r_chunk, c_local,
-           c_chunk, *arrs):
-        out, den, _ = _fwd_impl(wh, f_dst, bound, a_src, seed2, r_local,
-                                r_chunk, c_local, c_chunk, arrs)
-        return out, den
-
-    def fwd(wh, f_dst, bound, a_src, seed2, r_local, r_chunk, c_local,
-            c_chunk, *arrs):
-        out, den, keepq = _fwd_impl(wh, f_dst, bound, a_src, seed2, r_local,
-                                    r_chunk, c_local, c_chunk, arrs)
-        # identical residual layout to _v1_corner_op (keepq in slot 4)
-        return (out, den), (wh, f_dst, bound, a_src, keepq, r_local,
-                            r_chunk, c_local, c_chunk) + arrs
-
-    def bwd(res, cts):
-        return _v1_bwd_body(ps_fwd, ps_inv, alpha, precision, interpret,
-                            res, cts)  # position 4 (seed2) gets None
-
-    op.defvjp(fwd, bwd)
-    return op
 
 
 def fused_v1_attention_corner(wh, f_dst, bound, a_src, keepq, graph,
@@ -257,20 +198,6 @@ def fused_v1_attention_corner(wh, f_dst, bound, a_src, keepq, graph,
     arr_i, ps_i = flatten_plan(plans.inv)
     op = _v1_corner_op(ps_f, ps_i, float(alpha), precision, interpret)
     return op(wh, f_dst, bound, a_src, keepq, graph.r_local, graph.r_chunk,
-              graph.c_local, graph.c_chunk, *arr_f, *arr_i)
-
-
-def fused_v1_attention_corner_rng(wh, f_dst, bound, a_src, seed2, graph,
-                                  plans: CscCsrPlans, *, alpha: float,
-                                  keep: float, precision: str,
-                                  interpret: bool):
-    """Gather-free fused v1 attention with in-kernel attention dropout
-    (per-chunk TPU PRNG seeds). COMPILED TPU ONLY."""
-    arr_f, ps_f = flatten_plan(plans.fwd)
-    arr_i, ps_i = flatten_plan(plans.inv)
-    op = _v1_corner_rng_op(ps_f, ps_i, float(alpha), float(keep), precision,
-                           interpret)
-    return op(wh, f_dst, bound, a_src, seed2, graph.r_local, graph.r_chunk,
               graph.c_local, graph.c_chunk, *arr_f, *arr_i)
 
 
@@ -389,61 +316,6 @@ def _v2_corner_op(ps_fwd: tuple, ps_inv: tuple, alpha: float,
     return op
 
 
-@_functools.lru_cache(maxsize=None)
-def _v2_corner_rng_op(ps_fwd: tuple, ps_inv: tuple, alpha: float,
-                      keep: float, precision: str, interpret: bool):
-    """_v2_corner_op with in-kernel attention dropout (see
-    _v1_corner_rng_op). COMPILED TPU ONLY. Signature: op(whi, whj, ub, a,
-    seed2, r_local, r_chunk, c_local, c_chunk, *arrays)."""
-    n_f = 4 * len(ps_fwd)
-    exact = precision != "fastest"
-
-    def _fwd_impl(whi, whj, ub, a, seed2, r_local, r_chunk, c_local,
-                  c_chunk, arrs):
-        n_pad, hf = whi.shape
-        h, f = a.shape
-        e = r_local.shape[0]
-        wdt = _win_dtype(precision)
-        gjgi = _gather_corner(jnp.concatenate([whj, whi], axis=1),
-                              c_local, c_chunk, arrs[:n_f], ps_fwd, e,
-                              interpret, exact)
-        gj = gjgi[:, :hf].astype(wdt)
-        gi = gjgi[:, hf:].astype(wdt)
-        wiub = jnp.concatenate([whi, ub], axis=1)
-        abd = _block_diag_a(a.astype(wdt))
-        exp_bd = _expand_bd(h, f)
-        local8 = r_local.reshape(e // EC // 8, 8, EC)
-        out, den, keepq = _grid_call_rng(
-            _make_v2_kernel(alpha, h, hf, exact, interpret, rng_keep=keep),
-            r_chunk, seed2,
-            [_window_spec_rng(hf), _window_spec_rng(hf)],
-            [gj.reshape(e // EC, EC, hf), gi.reshape(e // EC, EC, hf)],
-            [_tile_spec_rng(hf + h)], [wiub],
-            [_const_spec_rng(hf, h), _const_spec_rng(h, hf)], [abd, exp_bd],
-            local8, n_pad, hf, h, interpret,
-        )
-        return out, den, keepq.reshape(e, h)
-
-    @jax.custom_vjp
-    def op(whi, whj, ub, a, seed2, r_local, r_chunk, c_local, c_chunk,
-           *arrs):
-        out, den, _ = _fwd_impl(whi, whj, ub, a, seed2, r_local, r_chunk,
-                                c_local, c_chunk, arrs)
-        return out, den
-
-    def fwd(whi, whj, ub, a, seed2, r_local, r_chunk, c_local, c_chunk,
-            *arrs):
-        out, den, keepq = _fwd_impl(whi, whj, ub, a, seed2, r_local,
-                                    r_chunk, c_local, c_chunk, arrs)
-        return (out, den), (whi, whj, ub, a, keepq, r_local, r_chunk,
-                            c_local, c_chunk) + arrs
-
-    def bwd(res, cts):
-        return _v2_bwd_body(ps_fwd, ps_inv, alpha, precision, interpret,
-                            res, cts)  # position 4 (seed2) gets None
-
-    op.defvjp(fwd, bwd)
-    return op
 
 
 def fused_v2_attention_corner(whi, whj, ub, a, keepq, graph,
@@ -455,18 +327,4 @@ def fused_v2_attention_corner(whi, whj, ub, a, keepq, graph,
     arr_i, ps_i = flatten_plan(plans.inv)
     op = _v2_corner_op(ps_f, ps_i, float(alpha), precision, interpret)
     return op(whi, whj, ub, a, keepq, graph.r_local, graph.r_chunk,
-              graph.c_local, graph.c_chunk, *arr_f, *arr_i)
-
-
-def fused_v2_attention_corner_rng(whi, whj, ub, a, seed2, graph,
-                                  plans: CscCsrPlans, *, alpha: float,
-                                  keep: float, precision: str,
-                                  interpret: bool):
-    """Gather-free fused v2 attention with in-kernel attention dropout
-    (per-chunk TPU PRNG seeds). COMPILED TPU ONLY."""
-    arr_f, ps_f = flatten_plan(plans.fwd)
-    arr_i, ps_i = flatten_plan(plans.inv)
-    op = _v2_corner_rng_op(ps_f, ps_i, float(alpha), float(keep), precision,
-                           interpret)
-    return op(whi, whj, ub, a, seed2, graph.r_local, graph.r_chunk,
               graph.c_local, graph.c_chunk, *arr_f, *arr_i)

@@ -131,34 +131,13 @@ def _rounder(two_limb: bool, interpret: bool):
     return lambda x: x.astype(jnp.bfloat16)
 
 
-def _draw_keepq(seed_ref, i: int, h: int, keep: float):
-    """In-kernel attention keep/(1-p) factors: per-chunk-seeded TPU PRNG
-    (no [E, H] mask tensor is read from HBM). COMPILED TPU ONLY —
-    pltpu.prng_seed has no interpret lowering (CLAUDE.md). The libtpu on
-    this image rejects >2 seed words, so the chunk index is mixed into the
-    second word with a golden-ratio odd multiplier (distinct per chunk
-    within a call; cross-call independence comes from the fresh per-call
-    (s0, s1) pair)."""
-    pltpu.prng_seed(seed_ref[0], seed_ref[1] + i * jnp.int32(-1640531527))
-    bits = pltpu.prng_random_bits((EC, TILE))  # full lanes; slice to H
-    thresh = jnp.uint32(min(int(keep * 2 ** 32), 2 ** 32 - 1))
-    mask = bits[:, :h].astype(jnp.uint32) < thresh
-    return jnp.where(mask, 1.0 / keep, 0.0)
-
-
 def _make_v1_kernel(alpha: float, h: int, hf: int, two_limb: bool,
-                    interpret: bool, rng_keep: float | None = None):
-    """``rng_keep`` set => draw the attention keep mask IN-KERNEL (the
-    keep_ref input becomes a written keepq output for the backward)."""
+                    interpret: bool):
     mm = _rounder(two_limb, interpret)
 
     def kernel(*refs):
-        if rng_keep is not None:
-            (ct_ref, seed_ref, local_ref, g_ref, fdb_ref, abd_ref,
-             exp_ref, out_ref, den_ref, keepq_ref) = refs
-        else:
-            (ct_ref, local_ref, g_ref, keep_ref, fdb_ref, abd_ref,
-             exp_ref, out_ref, den_ref) = refs
+        (ct_ref, local_ref, g_ref, keep_ref, fdb_ref, abd_ref,
+         exp_ref, out_ref, den_ref) = refs
         i = pl.program_id(0)
         tile = ct_ref[i]
         first = jnp.logical_or(i == 0, ct_ref[jnp.maximum(i - 1, 0)] != tile)
@@ -195,12 +174,7 @@ def _make_v1_kernel(alpha: float, h: int, hf: int, two_limb: bool,
         # for 32-bit types").
         live = loc[:, None] < TILE
         num = jnp.where(live, jnp.exp(logits - fde[:, h:]), 0.0)  # [EC, H]
-        if rng_keep is not None:
-            keepq = _draw_keepq(seed_ref, i, h, rng_keep)
-            keepq_ref[0] = keepq  # residual for the XLA backward
-        else:
-            keepq = keep_ref[0]
-        qnum = num * keepq
+        qnum = num * keep_ref[0]
         qnum_hf = jnp.dot(qnum, exp_ref[...],
                           preferred_element_type=jnp.float32)  # [EC, HF]
         msgs = g.astype(jnp.float32) * qnum_hf
@@ -218,18 +192,12 @@ def _make_v1_kernel(alpha: float, h: int, hf: int, two_limb: bool,
 
 
 def _make_v2_kernel(alpha: float, h: int, hf: int, two_limb: bool,
-                    interpret: bool, rng_keep: float | None = None):
-    """``rng_keep`` set => in-kernel attention dropout (see
-    _make_v1_kernel)."""
+                    interpret: bool):
     mm = _rounder(two_limb, interpret)
 
     def kernel(*refs):
-        if rng_keep is not None:
-            (ct_ref, seed_ref, local_ref, gj_ref, gi_ref, wiub_ref,
-             abd_ref, exp_ref, out_ref, den_ref, keepq_ref) = refs
-        else:
-            (ct_ref, local_ref, gj_ref, gi_ref, keep_ref, wiub_ref,
-             abd_ref, exp_ref, out_ref, den_ref) = refs
+        (ct_ref, local_ref, gj_ref, gi_ref, keep_ref, wiub_ref,
+         abd_ref, exp_ref, out_ref, den_ref) = refs
         i = pl.program_id(0)
         tile = ct_ref[i]
         first = jnp.logical_or(i == 0, ct_ref[jnp.maximum(i - 1, 0)] != tile)
@@ -259,12 +227,7 @@ def _make_v2_kernel(alpha: float, h: int, hf: int, two_limb: bool,
         # 2D i32 compare — a 1D i1 [:, None] reshape won't lower in Mosaic)
         live = loc[:, None] < TILE
         num = jnp.where(live, jnp.exp(logits - wiub_e[:, hf:]), 0.0)
-        if rng_keep is not None:
-            keepq = _draw_keepq(seed_ref, i, h, rng_keep)
-            keepq_ref[0] = keepq
-        else:
-            keepq = keep_ref[0]
-        qnum = num * keepq
+        qnum = num * keep_ref[0]
         qnum_hf = jnp.dot(qnum, exp_ref[...],
                           preferred_element_type=jnp.float32)
         msgs = gi_ref[0].astype(jnp.float32) * qnum_hf  # whi at senders
@@ -283,26 +246,6 @@ def _make_v2_kernel(alpha: float, h: int, hf: int, two_limb: bool,
 
 def _win_dtype(precision: str):
     return jnp.float32 if precision != "fastest" else jnp.bfloat16
-
-
-_KERNEL_RNG = None  # PYGAT_KERNEL_RNG=1 opt-in (resolved lazily)
-
-
-def kernel_rng_enabled(interpret: bool) -> bool:
-    """In-kernel attention dropout (TPU PRNG, per-chunk seeds). Opt-in via
-    PYGAT_KERNEL_RNG=1 and compiled-TPU only: pltpu.prng_seed has no
-    interpret-mode lowering."""
-    global _KERNEL_RNG
-    if _KERNEL_RNG is None:
-        import os
-
-        _KERNEL_RNG = os.environ.get("PYGAT_KERNEL_RNG", "0") == "1"
-    return _KERNEL_RNG and not interpret
-
-
-def set_kernel_rng(on: bool) -> None:
-    global _KERNEL_RNG
-    _KERNEL_RNG = bool(on)
 
 
 def _grid_call(kernel, r_chunk, window_specs, windows, tile_specs, tiles,
@@ -328,47 +271,6 @@ def _grid_call(kernel, r_chunk, window_specs, windows, tile_specs, tiles,
         ],
         interpret=interpret,
     )(r_chunk, local8, *windows, *tiles, *consts)
-
-
-def _grid_call_rng(kernel, r_chunk, seed2, window_specs, windows, tile_specs,
-                   tiles, const_specs, consts, local8, n_pad, out_lanes, h,
-                   interpret: bool):
-    """Like _grid_call but with a second scalar-prefetch arg (the PRNG
-    seed pair) and a per-chunk keepq window as a THIRD output."""
-    c = r_chunk.shape[0]
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
-        grid=(c,),
-        in_specs=[pl.BlockSpec((1, 8, EC), lambda i, ct, sd: (i // 8, 0, 0))]
-        + window_specs + tile_specs + const_specs,
-        out_specs=[
-            pl.BlockSpec((TILE, out_lanes), lambda i, ct, sd: (ct[i], 0)),
-            pl.BlockSpec((TILE, h), lambda i, ct, sd: (ct[i], 0)),
-            pl.BlockSpec((1, EC, h), lambda i, ct, sd: (i, 0, 0)),
-        ],
-    )
-    return pl.pallas_call(
-        kernel,
-        grid_spec=grid_spec,
-        out_shape=[
-            jax.ShapeDtypeStruct((n_pad, out_lanes), jnp.float32),
-            jax.ShapeDtypeStruct((n_pad, h), jnp.float32),
-            jax.ShapeDtypeStruct((c, EC, h), jnp.float32),
-        ],
-        interpret=interpret,
-    )(r_chunk, seed2, local8, *windows, *tiles, *consts)
-
-
-def _window_spec_rng(lanes):
-    return pl.BlockSpec((1, EC, lanes), lambda i, ct, sd: (i, 0, 0))
-
-
-def _tile_spec_rng(lanes):
-    return pl.BlockSpec((TILE, lanes), lambda i, ct, sd: (ct[i], 0))
-
-
-def _const_spec_rng(rows, lanes):
-    return pl.BlockSpec((rows, lanes), lambda i, ct, sd: (0, 0))
 
 
 def _window_spec(lanes):
@@ -491,68 +393,6 @@ def _v1_bwd(alpha, precision, interpret, res, cts):
 fused_v1_attention.defvjp(_v1_fwd, _v1_bwd)
 
 
-@partial(jax.custom_vjp, nondiff_argnums=(12, 13, 14, 15))
-def fused_v1_attention_rng(wh, f_dst, bound, a_src, seed2,
-                           senders, receivers, r_local, r_chunk,
-                           c_slot, c_local, c_chunk,
-                           alpha: float, keep: float, precision: str,
-                           interpret: bool):
-    """fused_v1_attention with the attention-dropout mask drawn INSIDE the
-    kernel from per-chunk TPU PRNG seeds (``seed2`` [2] int32) — no [E, H]
-    mask read from HBM in the forward; the kernel writes the keep/(1-p)
-    factors as a residual for the XLA backward. COMPILED TPU ONLY.
-    Returns (out [N, HF], den [N, H])."""
-    out, den, _ = _v1_rng_fwd_impl(wh, f_dst, bound, a_src, seed2, senders,
-                                   r_local, r_chunk, alpha, keep, precision,
-                                   interpret)
-    return out, den
-
-
-def _v1_rng_fwd_impl(wh, f_dst, bound, a_src, seed2, senders, r_local,
-                     r_chunk, alpha, keep, precision, interpret):
-    n_pad, hf = wh.shape
-    h, f = a_src.shape
-    e = senders.shape[0]
-    two_limb = precision != "fastest"
-    wdt = _win_dtype(precision)
-
-    gathered = jnp.take(wh, senders, axis=0).astype(wdt)  # [E, HF]
-    fdb = jnp.concatenate([f_dst, bound], axis=1)  # [N, 2H]
-    abd = _block_diag_a(a_src.astype(wdt))  # [HF, H]
-    exp_bd = _expand_bd(h, f)  # [H, HF] f32
-    local8 = r_local.reshape(e // EC // 8, 8, EC)
-
-    out, den, keepq = _grid_call_rng(
-        _make_v1_kernel(alpha, h, hf, two_limb, interpret, rng_keep=keep),
-        r_chunk, seed2,
-        [_window_spec_rng(hf)],
-        [gathered.reshape(e // EC, EC, hf)],
-        [_tile_spec_rng(2 * h)], [fdb],
-        [_const_spec_rng(hf, h), _const_spec_rng(h, hf)], [abd, exp_bd],
-        local8, n_pad, hf, h, interpret,
-    )
-    return out, den, keepq.reshape(e, h)
-
-
-def _v1_rng_fwd(wh, f_dst, bound, a_src, seed2, senders, receivers, r_local,
-                r_chunk, c_slot, c_local, c_chunk, alpha, keep, precision,
-                interpret):
-    out, den, keepq = _v1_rng_fwd_impl(wh, f_dst, bound, a_src, seed2,
-                                       senders, r_local, r_chunk, alpha,
-                                       keep, precision, interpret)
-    res = (wh, f_dst, bound, a_src, keepq, senders, receivers, r_local,
-           r_chunk, c_slot, c_local, c_chunk)
-    return (out, den), res
-
-
-def _v1_rng_bwd(alpha, keep, precision, interpret, res, cts):
-    grads = _v1_bwd(alpha, precision, interpret, res, cts)
-    # same residual layout as the XLA-mask path; seed gets no gradient
-    return grads[:4] + (None,) + grads[5:]
-
-
-fused_v1_attention_rng.defvjp(_v1_rng_fwd, _v1_rng_bwd)
-
 
 # ---------------------------------------------------------------------------
 # v2: custom-VJP op (GATv2: LeakyReLU before the a-projection; aggregates
@@ -661,66 +501,6 @@ def _v2_bwd(alpha, precision, interpret, res, cts):
 
 fused_v2_attention.defvjp(_v2_fwd, _v2_bwd)
 
-
-@partial(jax.custom_vjp, nondiff_argnums=(12, 13, 14, 15))
-def fused_v2_attention_rng(whi, whj, ub, a, seed2,
-                           senders, receivers, r_local, r_chunk,
-                           c_slot, c_local, c_chunk,
-                           alpha: float, keep: float, precision: str,
-                           interpret: bool):
-    """fused_v2_attention with in-kernel attention dropout (per-chunk TPU
-    PRNG seeds — see fused_v1_attention_rng). COMPILED TPU ONLY."""
-    out, den, _ = _v2_rng_fwd_impl(whi, whj, ub, a, seed2, senders,
-                                   r_local, r_chunk, alpha, keep, precision,
-                                   interpret)
-    return out, den
-
-
-def _v2_rng_fwd_impl(whi, whj, ub, a, seed2, senders, r_local, r_chunk,
-                     alpha, keep, precision, interpret):
-    n_pad, hf = whi.shape
-    h, f = a.shape
-    e = senders.shape[0]
-    two_limb = precision != "fastest"
-    wdt = _win_dtype(precision)
-
-    gj = jnp.take(whj, senders, axis=0).astype(wdt)
-    gi = jnp.take(whi, senders, axis=0).astype(wdt)
-    wiub = jnp.concatenate([whi, ub], axis=1)
-    abd = _block_diag_a(a.astype(wdt))
-    exp_bd = _expand_bd(h, f)
-    local8 = r_local.reshape(e // EC // 8, 8, EC)
-
-    out, den, keepq = _grid_call_rng(
-        _make_v2_kernel(alpha, h, hf, two_limb, interpret, rng_keep=keep),
-        r_chunk, seed2,
-        [_window_spec_rng(hf), _window_spec_rng(hf)],
-        [gj.reshape(e // EC, EC, hf), gi.reshape(e // EC, EC, hf)],
-        [_tile_spec_rng(hf + h)], [wiub],
-        [_const_spec_rng(hf, h), _const_spec_rng(h, hf)], [abd, exp_bd],
-        local8, n_pad, hf, h, interpret,
-    )
-    return out, den, keepq.reshape(e, h)
-
-
-def _v2_rng_fwd(whi, whj, ub, a, seed2, senders, receivers, r_local,
-                r_chunk, c_slot, c_local, c_chunk, alpha, keep, precision,
-                interpret):
-    out, den, keepq = _v2_rng_fwd_impl(whi, whj, ub, a, seed2, senders,
-                                       r_local, r_chunk, alpha, keep,
-                                       precision, interpret)
-    res = (whi, whj, ub, a, keepq, senders, receivers, r_local, r_chunk,
-           c_slot, c_local, c_chunk)
-    return (out, den), res
-
-
-def _v2_rng_bwd(alpha, keep, precision, interpret, res, cts):
-    grads = _v2_bwd(alpha, precision, interpret, res, cts)
-    # same residual layout as the XLA-mask path; seed gets no gradient
-    return grads[:4] + (None,) + grads[5:]
-
-
-fused_v2_attention_rng.defvjp(_v2_rng_fwd, _v2_rng_bwd)
 
 
 # ---------------------------------------------------------------------------

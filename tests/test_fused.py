@@ -146,68 +146,6 @@ def test_denominator_underflow_grads_finite(setup, impl):
     assert bool(jnp.isfinite(flat).all())
 
 
-def test_kernel_rng_gated_off_in_interpret():
-    """PYGAT_KERNEL_RNG can never activate under interpret mode (CPU):
-    pltpu.prng_seed has no interpret lowering."""
-    fs.set_kernel_rng(True)
-    try:
-        assert fs.kernel_rng_enabled(interpret=True) is False
-        assert fs.kernel_rng_enabled(interpret=False) is True
-    finally:
-        fs.set_kernel_rng(False)
-
-
-@pytest.mark.skipif("os.environ.get('PYGAT_TPU_TESTS') != '1'")
-def test_kernel_rng_on_tpu(setup):
-    """Compiled-TPU only: in-kernel attention dropout draws masks with the
-    right keep statistics and trains finitely (PYGAT_TPU_TESTS=1)."""
-    import os  # noqa: F401  (used by the skipif expression)
-
-    g, x = setup
-    cfg = _cfg("GAT_sparse")
-    params = init_gat(jax.random.PRNGKey(0), cfg)
-    fs.set_kernel_rng(True)
-    try:
-        # keep statistics of the raw kernel: keepq in {0, 1/keep}
-        keep = 0.4
-        h, f = 4, 16
-        wh = jnp.asarray(
-            np.random.default_rng(0).standard_normal(
-                (g.num_nodes_padded, h * f)).astype(np.float32))
-        f_dst = jnp.zeros((g.num_nodes_padded, h))
-        bound = jnp.full((g.num_nodes_padded, h), 5.0)
-        a_src = jnp.zeros((h, f))
-        seed2 = jnp.asarray([7, 9], jnp.int32)
-        _, _, keepq = fs._v1_rng_fwd_impl(
-            wh, f_dst, bound, a_src, seed2, g.senders, g.r_local, g.r_chunk,
-            0.2, keep, "fastest", False)
-        vals = np.unique(np.round(np.asarray(keepq), 5))
-        assert set(vals) <= {0.0, round(1.0 / keep, 5)}
-        frac = float((keepq > 0).mean())
-        assert abs(frac - keep) < 0.02, frac
-        # two different seeds give different masks; same seed identical
-        _, _, keepq2 = fs._v1_rng_fwd_impl(
-            wh, f_dst, bound, a_src, jnp.asarray([8, 9], jnp.int32),
-            g.senders, g.r_local, g.r_chunk, 0.2, keep, "fastest", False)
-        assert not np.array_equal(np.asarray(keepq), np.asarray(keepq2))
-
-        # full train-mode grads through the rng path are finite (v1 + v2)
-        for lt in ("GAT_sparse", "GATv2_sparse"):
-            cfg_t = _cfg(lt)
-            params_t = init_gat(jax.random.PRNGKey(0), cfg_t)
-
-            def loss(p, key):
-                with seg.use_impl("stream"):
-                    out = apply_gat(p, cfg_t, x, g, key, train=True)
-                return jnp.sum(out ** 2)
-
-            grads = jax.jit(jax.grad(loss))(params_t, jax.random.PRNGKey(1))
-            flat = ravel_pytree(grads)[0]
-            assert bool(jnp.isfinite(flat).all()), lt
-    finally:
-        fs.set_kernel_rng(False)
-
-
 def test_fused_empty_tiles_and_bucketed_shapes():
     """A bucketed graph (explicit e_pad, nodes only in the low tiles) has
     empty output tiles and all-dead chunks; fused == scatter still."""

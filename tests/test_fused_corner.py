@@ -162,32 +162,6 @@ def test_corner_op_v2_multipass():
                                    atol=1e-4 * scale)
 
 
-@pytest.mark.skipif("os.environ.get('PYGAT_TPU_TESTS') != '1'")
-def test_corner_rng_on_tpu(setup):
-    """Compiled-TPU only: the gather-free path with in-kernel attention
-    dropout (corner + per-chunk TPU PRNG) trains finitely, v1 and v2."""
-    import os  # noqa: F401  (used by the skipif expression)
-
-    g, plans, x = setup
-    fs.set_kernel_rng(True)
-    try:
-        for lt in ("GAT_sparse", "GATv2_sparse"):
-            cfg = _cfg(lt)
-            params = init_gat(jax.random.PRNGKey(0), cfg)
-
-            def loss(p, key):
-                with seg.use_impl("stream"):
-                    out = apply_gat(p, cfg, x, g, key, train=True,
-                                    plans=plans)
-                return jnp.sum(out ** 2)
-
-            grads = jax.jit(jax.grad(loss))(params, jax.random.PRNGKey(1))
-            flat = ravel_pytree(grads)[0]
-            assert bool(jnp.isfinite(flat).all()), lt
-    finally:
-        fs.set_kernel_rng(False)
-
-
 def test_corner_bucketed_graph(setup):
     """Bucketed (explicit pads) graph: empty tiles, all-dead chunks, dead
     CSC slots — the corner path must stay finite and match."""
