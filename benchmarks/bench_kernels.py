@@ -133,8 +133,11 @@ def main() -> int:
     print(f"[bench_kernels] corner plans: fwd spans "
           f"{[cp.p for cp in plans.fwd.passes]} inv "
           f"{[cp.p for cp in plans.inv.passes]}", file=_sys.stderr, flush=True)
-    corner_op = _spmm_corner_op(ps_f, ps_i, "take", "fastest",
-                                jax.default_backend() != "tpu")
+    from pygat_tpu.ops.corner import default_permute_mode
+
+    _interp = jax.default_backend() != "tpu"
+    corner_op = _spmm_corner_op(ps_f, ps_i, default_permute_mode(_interp),
+                                "fastest", _interp)
 
     def spmm_corner_fn(v, d, gg, *arrs):
         return corner_op(v, d, gg.edge_mask, gg.r_local, gg.r_chunk,

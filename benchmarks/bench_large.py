@@ -71,20 +71,25 @@ def main() -> int:
 
     corner_op = fc._v1_corner_op(ps_f, ps_i, 0.2, "fastest", interp)
 
-    def run_corner(wh, f_dst, a_src, gg, *arrs):
+    # bound/keepq ride as ARGUMENTS: closing over them embeds [N,H]/[E,H]
+    # constants in the jitted scan body, and the remote compile helper
+    # rejects >~40MB bodies (this was the round-3 "take-grad fails at
+    # 500k" artifact — a benchmark bug, not a kernel bug)
+    def run_corner(wh, f_dst, bound, a_src, keepq, gg, *arrs):
         return corner_op(wh, f_dst, bound, a_src, keepq, gg.r_local,
                          gg.r_chunk, gg.c_local, gg.c_chunk, *arrs)[0]
 
-    def run_take(wh, f_dst, a_src, gg):
+    def run_take(wh, f_dst, bound, a_src, keepq, gg):
         return fs.fused_v1_attention(
             wh, f_dst, bound, a_src, keepq, gg.senders, gg.receivers,
             gg.r_local, gg.r_chunk, gg.c_slot, gg.c_local, gg.c_chunk,
             0.2, "fastest", interp)[0]
 
     def grad_of(fn):
-        def gfn(wh, f_dst, a_src, *rest):
+        def gfn(wh, f_dst, bound, a_src, keepq, *rest):
             return jax.grad(
-                lambda w, fd, asr: jnp.sum(fn(w, fd, asr, *rest) ** 2),
+                lambda w, fd, asr: jnp.sum(
+                    fn(w, fd, bound, asr, keepq, *rest) ** 2),
                 argnums=(0, 1, 2))(wh, f_dst, a_src)[0]
         return gfn
 
@@ -95,16 +100,18 @@ def main() -> int:
     t_take = e_pad * hf * 4 * 2 + n_pad * hf * 4 + n_pad * (hf + a.h) * 4
 
     cases = [("fusedv1-corner", t_corner, run_corner,
-              (wh, f_dst, a_src, g) + arr_f + arr_i)]
+              (wh, f_dst, bound, a_src, keepq, g) + arr_f + arr_i)]
     if not a.skip_take:
-        cases.append(("fusedv1-take", t_take, run_take, (wh, f_dst, a_src, g)))
+        cases.append(("fusedv1-take", t_take, run_take,
+                      (wh, f_dst, bound, a_src, keepq, g)))
     if a.grad:
         cases.append(("fusedv1-corner-grad", 3 * t_corner,
                       grad_of(run_corner),
-                      (wh, f_dst, a_src, g) + arr_f + arr_i))
+                      (wh, f_dst, bound, a_src, keepq, g) + arr_f + arr_i))
         if not a.skip_take:
             cases.append(("fusedv1-take-grad", 3 * t_take,
-                          grad_of(run_take), (wh, f_dst, a_src, g)))
+                          grad_of(run_take),
+                          (wh, f_dst, bound, a_src, keepq, g)))
 
     for name, traffic, fn, args in cases:
         print(f"[bench_large] timing {name}...", file=sys.stderr, flush=True)

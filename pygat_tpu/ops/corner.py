@@ -42,6 +42,26 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 TILE = 128
+
+
+def default_permute_mode(interpret: bool) -> str:
+    """Row-selection mode for the permute kernels.
+
+    'take' (VMEM dynamic_gather) does NOT lower on compiled TPU here:
+    Mosaic rejects gathers spanning more than one sublane vreg ("Multiple
+    source vregs along gather dimension", measured on v5e round 4 — a
+    [128, L] row take from a [p*128, L] window needs 16 source vregs).
+    One-hot MXU selection compiles everywhere, so it is the compiled
+    default; interpret mode (CPU tests) keeps the cheap take. Override
+    with PYGAT_CORNER_PERMUTE=take|onehot."""
+    import os
+
+    env = os.environ.get("PYGAT_CORNER_PERMUTE", "")
+    if env in ("take", "onehot"):
+        return env
+    return "take" if interpret else "onehot"
+
+
 # Window-span cap. The radix R is ~T^(1/k) but a tile's measured span is
 # R +- ~R/sqrt(128) (order statistics of 128 uniform draws), so the cap
 # needs ~4-sigma slack over R or a few tail rows per tile overflow
@@ -205,8 +225,11 @@ def _make_permute_kernel(p: int, l: int, mode: str, interpret: bool,
             # take_along_axis form (tpu.dynamic_gather); a [p*TILE, l] ->
             # [TILE, l] row take is rejected ("Shape mismatch in input,
             # indices and output"). Gather each TILE-row panel with
-            # clamped per-lane indices and select the owning panel;
-            # out-of-span rows stay 0 (overwritten by the ov fix-up).
+            # clamped per-lane indices and select the owning panel. Only
+            # rows with g >= p*TILE stay 0 here; out-of-WINDOW rows are
+            # encoded g=0 by _pack_pass, so they read panel-0 row 0 (NOT
+            # 0) and rely entirely on the ov fix-up / never-consumed
+            # guarantee — do not build logic on those rows being zero.
             gcol = jnp.broadcast_to(g[:, None], (TILE, l))
             out = jnp.zeros((TILE, l), jnp.float32)
             for k in range(p):
@@ -296,15 +319,18 @@ def flatten_plan(plan: CornerPlan):
     )
 
 
-def corner_permute(x: jax.Array, plan: CornerPlan, *, mode: str = "take",
+def corner_permute(x: jax.Array, plan: CornerPlan, *, mode: str | None = None,
                    interpret: bool | None = None,
                    precision: str = "high") -> jax.Array:
     """out[dest[i]] = x[i] for the permutation the plan was built from.
-    ``mode='take'`` selects rows with a VMEM-local gather; ``'onehot'``
-    uses MXU matmuls (``precision='high'`` keeps f32 via two bf16 limbs).
+    ``mode='take'`` selects rows with a VMEM-local gather (interpret-only,
+    see default_permute_mode); ``'onehot'`` uses MXU matmuls
+    (``precision='high'`` keeps f32 via two bf16 limbs).
     Not differentiable — use permute_rows."""
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
+    if mode is None:
+        mode = default_permute_mode(interpret)
     if x.shape[0] != plan.n_rows:
         raise ValueError(f"x rows {x.shape[0]} != plan rows {plan.n_rows}")
     arrs, ps = flatten_plan(plan)
@@ -339,11 +365,13 @@ def _permute_op(ps_fwd: tuple, ps_inv: tuple, mode: str, exact: bool,
 
 
 def permute_rows(x, plan: CornerPlan, plan_inv: CornerPlan,
-                 mode: str = "take", *, interpret: bool | None = None,
+                 mode: str | None = None, *, interpret: bool | None = None,
                  precision: str = "high"):
     """Differentiable corner-turn: backward applies the inverse plan."""
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
+    if mode is None:
+        mode = default_permute_mode(interpret)
     arr_f, ps_f = flatten_plan(plan)
     arr_i, ps_i = flatten_plan(plan_inv)
     op = _permute_op(ps_f, ps_i, mode, precision != "fastest", interpret)

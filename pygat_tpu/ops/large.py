@@ -144,17 +144,22 @@ def plan_csc_to_csr(graph, p_cap: int | None = None) -> CscCsrPlans:
 
 
 _CORNER_MODE = _os.environ.get("PYGAT_CORNER", "auto")
-# Crossover node count above which the serialized XLA row gather loses to
-# the expand+corner-turn window build (RESULTS.md "Large-graph finding":
-# take collapses once the wh table exceeds VMEM; at Pubmed scale (~20k
-# nodes) take still wins). 128k default pending a measured crossover on
-# hardware — tune with PYGAT_CORNER_N.
-_CORNER_N = int(_os.environ.get("PYGAT_CORNER_N", str(128 * 1024)))
+# Crossover node count above which the corner window build would beat the
+# XLA row gather. MEASURED round 4 on v5e (BENCH campaign, RESULTS.md
+# "take -> corner crossover"): there is NO crossover on this hardware —
+# Mosaic cannot lower the in-kernel multi-vreg row take, and the one-hot
+# fallback's select cost (~39 ns/row best-cap at 2M rows) exceeds the XLA
+# serialized gather (~11.5 ns/row) at every size that fits one chip, so
+# 'auto' never selects corner (threshold = +inf). The kernels stay opt-in
+# (PYGAT_CORNER=on / PYGAT_CORNER_N override) for hardware whose Mosaic
+# lowers multi-vreg gathers.
+_CORNER_N = int(_os.environ.get("PYGAT_CORNER_N", str(2 ** 62)))
 
 
 def set_corner(mode: str) -> None:
-    """'auto' (N_pad >= PYGAT_CORNER_N), 'on', or 'off' — selects the
-    gather-free corner window build for the fused attention layers."""
+    """'auto' (N_pad >= PYGAT_CORNER_N; measured round 4: never on v5e —
+    see _CORNER_N), 'on', or 'off' — selects the gather-free corner
+    window build for the fused attention layers."""
     global _CORNER_MODE
     if mode not in ("auto", "on", "off"):
         raise ValueError(f"unknown corner mode: {mode!r}")
@@ -247,7 +252,7 @@ def _spmm_corner_op(ps_fwd: tuple, ps_inv: tuple, mode: str, precision: str,
 
 
 def spmm_corner_graph(values, x, graph, plans: CscCsrPlans,
-                      *, mode: str = "take", precision: str = "high",
+                      *, mode: str | None = None, precision: str = "high",
                       interpret: bool | None = None):
     """out[N, L] = scatter-add over receivers of values * x[senders],
     entirely through expand / corner-turn / stream-scatter kernels —
@@ -255,6 +260,10 @@ def spmm_corner_graph(values, x, graph, plans: CscCsrPlans,
     edge order)."""
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
+    if mode is None:
+        from pygat_tpu.ops.corner import default_permute_mode
+
+        mode = default_permute_mode(interpret)
     arr_f, ps_f = flatten_plan(plans.fwd)
     arr_i, ps_i = flatten_plan(plans.inv)
     op = _spmm_corner_op(ps_f, ps_i, mode, precision, interpret)
