@@ -388,9 +388,8 @@ def ring_gat_attention(
         bound = lax.stop_gradient(_leaky(fd + m_src[None, :], alpha))
         fdb = jnp.concatenate([fd, bound], axis=1)  # [n_local, 2H]
 
-        acc = jnp.zeros((n_local, hf + h), jnp.float32)
-        w_buf = w
-        for k in range(d):  # static ring schedule
+        def hop(acc, w_buf, k):
+            # contribution of ring hop ``k`` (sender shard (me - k) % d)
             src_shard = (me - k) % d
             rl_k = jnp.take(rl, src_shard, axis=0)
             sl_k = jnp.take(sl, src_shard, axis=0)
@@ -415,28 +414,41 @@ def ring_gat_attention(
                     w_buf, fd, bound, asrc, keepq, sl_k, rl_k, loc_k,
                     ct_k, ss_k, sloc_k, sck_k, alpha, precision, interpret,
                 )
-                acc = acc + jnp.concatenate([agg, dn], axis=1)
-            else:
-                w_g = block_take_senders(w_buf, sl_k, ss_k, sloc_k, sck_k,
-                                         n_local, use_stream)  # [E, HF]
-                l_src = (w_g.reshape(-1, h, f) * asrc[None]).sum(-1)
-                fb_e = block_take_receivers(fdb, rl_k, loc_k, ct_k,
-                                            n_local, use_stream)  # [E, 2H]
-                logits = _leaky(fb_e[:, :h] + l_src, alpha)
-                num = jnp.where(em_k[:, None],
-                                jnp.exp(logits - fb_e[:, h:]), 0.0)
-                qnum = num * keep_k
-                msgs = jnp.concatenate(
-                    [(w_g.reshape(-1, h, f)
-                      * qnum[:, :, None]).reshape(-1, hf),
-                     num],
-                    axis=1,
-                )  # [E, HF + H]
-                acc = acc + block_recv_reduce(msgs, rl_k, loc_k, ct_k,
-                                              n_local, use_stream)
-            if k + 1 < d:
-                perm = [(i, (i + 1) % d) for i in range(d)]
+                return acc + jnp.concatenate([agg, dn], axis=1)
+            w_g = block_take_senders(w_buf, sl_k, ss_k, sloc_k, sck_k,
+                                     n_local, use_stream)  # [E, HF]
+            l_src = (w_g.reshape(-1, h, f) * asrc[None]).sum(-1)
+            fb_e = block_take_receivers(fdb, rl_k, loc_k, ct_k,
+                                        n_local, use_stream)  # [E, 2H]
+            logits = _leaky(fb_e[:, :h] + l_src, alpha)
+            num = jnp.where(em_k[:, None],
+                            jnp.exp(logits - fb_e[:, h:]), 0.0)
+            qnum = num * keep_k
+            msgs = jnp.concatenate(
+                [(w_g.reshape(-1, h, f)
+                  * qnum[:, :, None]).reshape(-1, hf),
+                 num],
+                axis=1,
+            )  # [E, HF + H]
+            return acc + block_recv_reduce(msgs, rl_k, loc_k, ct_k,
+                                           n_local, use_stream)
+
+        # hop 0 (local block) outside; hops 1..d-1 under lax.scan with the
+        # rotation first — exactly d-1 ppermutes and TWO traced copies of
+        # the hop program instead of d (VERDICT r3 item 6: the unrolled
+        # schedule's program size grew linearly with the ring length)
+        acc = hop(jnp.zeros((n_local, hf + h), jnp.float32), w,
+                  jnp.asarray(0, jnp.int32))
+        if d > 1:
+            perm = [(i, (i + 1) % d) for i in range(d)]
+
+            def ring_step(carry, k):
+                acc, w_buf = carry
                 w_buf = lax.ppermute(w_buf, DATA_AXIS, perm)
+                return (hop(acc, w_buf, k), w_buf), None
+
+            (acc, _), _ = lax.scan(ring_step, (acc, w),
+                                   jnp.arange(1, d, dtype=jnp.int32))
 
         out = softmax_div(acc[:, :hf].reshape(n_local, h, f), acc[:, hf:])
         return out.reshape(n_local, hf)
@@ -527,9 +539,8 @@ def ring_gat_attention_v2(
         ub = ub + (_leaky(wi3 + mq[None], alpha) * a_neg[None]).sum(-1)
         ub = lax.stop_gradient(ub)  # [n_local, H]
 
-        acc = jnp.zeros((n_local, hf + h), jnp.float32)
-        wi_buf, wj_buf = wi, wj
-        for k in range(d):  # static ring schedule
+        def hop(acc, wi_buf, wj_buf, k):
+            # contribution of ring hop ``k`` (sender shard (me - k) % d)
             src_shard = (me - k) % d
             rl_k = jnp.take(rl, src_shard, axis=0)
             sl_k = jnp.take(sl, src_shard, axis=0)
@@ -554,32 +565,43 @@ def ring_gat_attention_v2(
                     wi, ub, wi_buf, wj_buf, av, keepq, sl_k, rl_k, loc_k,
                     ct_k, ss_k, sloc_k, sck_k, alpha, precision, interpret,
                 )
-                acc = acc + jnp.concatenate([agg, dn], axis=1)
-            else:
-                wj_g = block_take_senders(wj_buf, sl_k, ss_k, sloc_k, sck_k,
-                                          n_local, use_stream)  # [E, HF]
-                wiub_e = block_take_receivers(
-                    jnp.concatenate([wi, ub], axis=1), rl_k, loc_k, ct_k,
-                    n_local, use_stream)  # [E, HF + H]
-                pre = _leaky(wiub_e[:, :hf] + wj_g, alpha)  # [E, HF]
-                logits = (pre.reshape(-1, h, f) * av[None]).sum(-1)  # [E, H]
-                num = jnp.where(em_k[:, None],
-                                jnp.exp(logits - wiub_e[:, hf:]), 0.0)
-                qnum = num * keep_k
-                wi_g = block_take_senders(wi_buf, sl_k, ss_k, sloc_k, sck_k,
-                                          n_local, use_stream)  # [E, HF]
-                msgs = jnp.concatenate(
-                    [(wi_g.reshape(-1, h, f)
-                      * qnum[:, :, None]).reshape(-1, hf),
-                     num],
-                    axis=1,
-                )
-                acc = acc + block_recv_reduce(msgs, rl_k, loc_k, ct_k,
-                                              n_local, use_stream)
-            if k + 1 < d:
-                perm = [(i, (i + 1) % d) for i in range(d)]
+                return acc + jnp.concatenate([agg, dn], axis=1)
+            wj_g = block_take_senders(wj_buf, sl_k, ss_k, sloc_k, sck_k,
+                                      n_local, use_stream)  # [E, HF]
+            wiub_e = block_take_receivers(
+                jnp.concatenate([wi, ub], axis=1), rl_k, loc_k, ct_k,
+                n_local, use_stream)  # [E, HF + H]
+            pre = _leaky(wiub_e[:, :hf] + wj_g, alpha)  # [E, HF]
+            logits = (pre.reshape(-1, h, f) * av[None]).sum(-1)  # [E, H]
+            num = jnp.where(em_k[:, None],
+                            jnp.exp(logits - wiub_e[:, hf:]), 0.0)
+            qnum = num * keep_k
+            wi_g = block_take_senders(wi_buf, sl_k, ss_k, sloc_k, sck_k,
+                                      n_local, use_stream)  # [E, HF]
+            msgs = jnp.concatenate(
+                [(wi_g.reshape(-1, h, f)
+                  * qnum[:, :, None]).reshape(-1, hf),
+                 num],
+                axis=1,
+            )
+            return acc + block_recv_reduce(msgs, rl_k, loc_k, ct_k,
+                                           n_local, use_stream)
+
+        # hop 0 outside; hops 1..d-1 under lax.scan, rotation first — see
+        # ring_gat_attention (d-1 ppermute pairs, two traced hop programs)
+        acc = hop(jnp.zeros((n_local, hf + h), jnp.float32), wi, wj,
+                  jnp.asarray(0, jnp.int32))
+        if d > 1:
+            perm = [(i, (i + 1) % d) for i in range(d)]
+
+            def ring_step(carry, k):
+                acc, wi_buf, wj_buf = carry
                 wi_buf = lax.ppermute(wi_buf, DATA_AXIS, perm)
                 wj_buf = lax.ppermute(wj_buf, DATA_AXIS, perm)
+                return (hop(acc, wi_buf, wj_buf, k), wi_buf, wj_buf), None
+
+            (acc, _, _), _ = lax.scan(ring_step, (acc, wi, wj),
+                                      jnp.arange(1, d, dtype=jnp.int32))
 
         out = softmax_div(acc[:, :hf].reshape(n_local, h, f), acc[:, hf:])
         return out.reshape(n_local, hf)
