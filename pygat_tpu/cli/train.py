@@ -50,7 +50,8 @@ def build_parser() -> argparse.ArgumentParser:
                    help="gather-free fused-attention window build for "
                         "million-node graphs (CSC expand + corner-turn "
                         "instead of a serialized row gather); auto = on "
-                        "above PYGAT_CORNER_N padded nodes (default 128k)")
+                        "above PYGAT_CORNER_N padded nodes (measured round 4: "
+                        "never wins on v5e, so auto never selects it)")
     p.add_argument("--platform", type=str, default=None,
                    help="force a JAX platform (e.g. cpu)")
     p.add_argument("--checkpoint-dir", type=str, default="checkpoints")
@@ -83,6 +84,11 @@ def build_parser() -> argparse.ArgumentParser:
                         "on-device best-params tracking — much faster wall "
                         "clock on remote-attached TPUs; checkpoints at chunk "
                         "boundaries instead of every epoch")
+    p.add_argument("--distributed", action="store_true", default=False,
+                   help="multi-host: call jax.distributed.initialize() before "
+                        "mesh construction (coordinator/process env from the "
+                        "launcher, e.g. a TPU pod slice); harmless no-op on a "
+                        "single-process run")
     return p
 
 
@@ -146,6 +152,14 @@ def main(argv=None) -> int:
         logger=logger,
         log_every=args.log_every,
     )
+    if args.distributed:
+        from pygat_tpu.parallel.mesh import initialize_distributed
+
+        multi = initialize_distributed()
+        import jax as _jax
+        print(f"distributed init: {'multi-host' if multi else 'single-host'} "
+              f"({len(_jax.devices())} global / "
+              f"{len(_jax.local_devices())} local devices)")
     mesh = None
     if args.mesh:
         from pygat_tpu.parallel.mesh import make_mesh

@@ -49,6 +49,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="one device dispatch per train/eval epoch (lax.scan "
                         "over stacked batches) — much faster wall clock on "
                         "remote-attached TPUs; per-epoch logs only")
+    p.add_argument("--distributed", action="store_true", default=False,
+                   help="multi-host: call jax.distributed.initialize() before "
+                        "mesh construction (coordinator/process env from the "
+                        "launcher); harmless no-op on a single-process run")
     return p
 
 
@@ -77,6 +81,15 @@ def main(argv=None) -> int:
 
         # 'stream' = Pallas stream/fused pipeline, 'xla' = scatter lowering
         set_segment_impl("stream" if args.backend == "stream" else "scatter")
+
+    if args.distributed:
+        from pygat_tpu.parallel.mesh import initialize_distributed
+
+        multi = initialize_distributed()
+        import jax as _jax
+        print(f"distributed init: {'multi-host' if multi else 'single-host'} "
+              f"({len(_jax.devices())} global / "
+              f"{len(_jax.local_devices())} local devices)")
 
     data = load_ppi(data_root=args.data_root)
     print(f"PPI graphs: {len(data.train)} train / {len(data.valid)} valid / "

@@ -42,11 +42,44 @@ def make_mesh(
     return Mesh(grid, (DATA_AXIS, MODEL_AXIS))
 
 
-def initialize_distributed(**kwargs) -> None:
-    """Multi-host init (jax.distributed). No-op on a single host; the DCN/ICI
-    split is then visible through jax.devices() vs jax.local_devices()."""
+def initialize_distributed(**kwargs) -> bool:
+    """Multi-host init (jax.distributed), to be called before any mesh or
+    backend use. After it, ``jax.devices()`` spans every host's chips (the
+    'data' axis then rides ICI within a slice and DCN across slices) while
+    ``jax.local_devices()`` stays host-local.
+
+    Returns True when the distributed runtime is (now) initialized, False
+    for a plain single-process run (no cluster autodetected and no
+    ``coordinator_address`` given) — the caller proceeds single-host.
+    Unexpected failures propagate instead of being swallowed."""
+    import os
+    import sys
+
     try:
         jax.distributed.initialize(**kwargs)
-    except (RuntimeError, ValueError):
-        # already initialized or single-process run
-        pass
+        return True
+    except RuntimeError as exc:
+        if "only be called once" in str(exc):
+            return True  # already initialized (e.g. by the launcher)
+        cluster_hint = any(
+            os.environ.get(v)
+            for v in ("JAX_COORDINATOR_ADDRESS", "COORDINATOR_ADDRESS",
+                      "MEGASCALE_COORDINATOR_ADDRESS")
+        ) or "," in os.environ.get("TPU_WORKER_HOSTNAMES", "") or (
+            # single-host values like 'localhost' (the axon runtime sets
+            # one at interpreter startup) are not a cluster
+            int(os.environ.get("SLURM_JOB_NUM_NODES", "1") or 1) > 1
+        )
+        if "before any JAX calls" in str(exc) and not kwargs \
+                and not cluster_hint:
+            # backend already live, but nothing indicates a cluster: this is
+            # a single-process run where init would be a no-op anyway
+            print("[pygat_tpu.parallel] distributed init skipped: backend "
+                  "already initialized, no coordinator configured",
+                  file=sys.stderr)
+            return False
+        raise
+    except ValueError as exc:
+        if "coordinator_address" in str(exc):
+            return False  # single-process run: nothing to coordinate
+        raise

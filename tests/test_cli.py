@@ -30,6 +30,24 @@ def test_train_cli_smoke(tmp_path):
     assert any(r["kind"] == "test" for r in recs)
 
 
+def test_train_cli_distributed_flag_is_single_host_noop(tmp_path):
+    """--distributed on a single-process run: initialize_distributed sees no
+    coordinator (ValueError narrowed to the documented case), reports
+    single-host, and training proceeds unchanged (VERDICT r3 item 7)."""
+    from pygat_tpu.cli.train import main
+
+    out = io.StringIO()
+    with redirect_stdout(out):
+        rc = main([
+            "--dataset", "cora", "--model", "GAT_sparse", "--epochs", "1",
+            "--distributed", "--no-checkpoint",
+        ])
+    assert rc == 0
+    text = out.getvalue()
+    assert "distributed init: single-host" in text
+    assert "Test set results" in text
+
+
 def test_train_cli_epoch_chunk_and_reorder(tmp_path):
     from pygat_tpu.cli.train import main
 

@@ -274,3 +274,15 @@ def test_fit_inductive_fast_mesh():
     res_dp = fit_inductive_fast(cfg, data, mesh=make_mesh(4, 2), **kw)
     assert np.isfinite(res_dp.history).all()
     assert res_dp.test_acc > 0.3
+
+
+def test_initialize_distributed_single_process_noop():
+    """No coordinator configured anywhere: initialize_distributed reports
+    single-host (False) and leaves the process fully usable — the narrowed
+    exception contract of VERDICT r3 item 7."""
+    import jax.numpy as jnp
+
+    from pygat_tpu.parallel.mesh import initialize_distributed
+
+    assert initialize_distributed() is False
+    assert float(jnp.ones((4,)).sum()) == 4.0
