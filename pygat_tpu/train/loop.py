@@ -767,12 +767,14 @@ def make_banked_epochs(
     n_train_graphs: int,
     n_val_graphs: int,
     n_chunk: int,
+    patience: int | None = None,
 ):
     """K inductive epochs per device dispatch, with on-device shuffling
     (``jax.random.permutation`` of the graph ids per epoch — the
     reference's DataLoader(shuffle=True) semantics, train_ppi.py:118) and
     on-device best-params tracking (same policy as
-    make_scanned_epochs_with_best).
+    make_scanned_epochs_with_best, incl. the patience gate: overshoot
+    epochs past the host's early stop never update the best model).
 
     Carry: (state, epoch_i, best_val, best_params, best_epoch).
     Returns per-epoch (loss_train, f1_train, loss_val, f1_val) means."""
@@ -813,6 +815,10 @@ def make_banked_epochs(
             lv_, fv_, *_ = eval_bank(state.params, bank_val)
             loss_val = lv_.mean()
             improved = (loss_val < best_val) & (epoch_i < max_epochs)
+            if patience is not None:
+                # see make_scanned_epochs_with_best: gate on the last
+                # completed epoch (epoch_i - 1), monotone across chunks
+                improved &= (epoch_i - 1 - best_epoch) < patience
             best_val = jnp.where(improved, loss_val, best_val)
             best_epoch = jnp.where(improved, epoch_i, best_epoch)
             best_params = jax.tree_util.tree_map(
@@ -867,7 +873,7 @@ def fit_inductive_banked(
     bank_te = build_bank(data.test, n_pg, e_pg)
 
     run = make_banked_epochs(cfg, tx, batch_size, len(data.train),
-                             len(data.valid), epoch_chunk)
+                             len(data.valid), epoch_chunk, patience=patience)
     eval_test, _ = _banked_eval_fn(cfg, batch_size, len(data.test))
 
     carry = (state, jnp.asarray(0, jnp.int32), jnp.asarray(jnp.inf),
@@ -1005,12 +1011,18 @@ def make_scanned_epochs(
 def make_scanned_epochs_with_best(
     cfg: GATConfig, tx: optax.GradientTransformation, n_epochs: int,
     fastmode: bool = False, segment_impl: str | None = None, apply_fn=None,
-    plans=None,
+    plans=None, patience: int | None = None,
 ):
     """Chunked fast path: K epochs per dispatch AND on-device tracking of the
     best-validation-loss parameters (the reference's save-every-epoch +
     restore-best policy, train.py:201-233, without a host round trip per
-    epoch). Carry: (state, best_val, best_params, best_epoch)."""
+    epoch). Carry: (state, best_val, best_params, best_epoch).
+
+    ``patience`` mirrors the host's early-stop policy on device: epochs that
+    run AFTER the patience stop would have fired (the final chunk's
+    overshoot) never update the best model — without this gate a late val
+    improvement inside the overshoot could select an epoch the reference
+    policy (train.py:220-223) never reaches."""
     from pygat_tpu.ops import segment as _seg
 
     if apply_fn is None:
@@ -1044,6 +1056,12 @@ def make_scanned_epochs_with_best(
                 )
             # epochs past the configured budget never update the best model
             improved = (loss_val < best_val) & (state.step - 1 < max_epochs)
+            if patience is not None:
+                # host policy stops after epoch e once e - best_epoch >=
+                # patience; this epoch's index is state.step - 1, so gate on
+                # the previous epoch (the one the host checked). best_epoch
+                # freezes once gated, so the gate is monotone across chunks.
+                improved &= (state.step - 2 - best_epoch) < patience
             best_val = jnp.where(improved, loss_val, best_val)
             best_epoch = jnp.where(improved, state.step - 1, best_epoch)
             best_params = jax.tree_util.tree_map(
@@ -1109,7 +1127,8 @@ def fit_transductive_fast(
     run = make_scanned_epochs_with_best(cfg, tx, epoch_chunk,
                                         fastmode=fastmode,
                                         segment_impl=seg_impl,
-                                        apply_fn=apply_fn, plans=plans)
+                                        apply_fn=apply_fn, plans=plans,
+                                        patience=patience)
     _, eval_step = make_transductive_steps(
         cfg, tx, segment_impl=seg_impl, apply_fn=apply_fn,
         plans=plans,

@@ -282,3 +282,41 @@ def test_inductive_fast_matches_classic(tmp_path):
                                rtol=2e-4)
     assert a.best_epoch == b.best_epoch
     np.testing.assert_allclose(b.test_acc, a.test_acc, atol=2e-3)
+
+
+def test_banked_chunking_never_changes_selection():
+    """The banked loop's early-stop contract (VERDICT r3 item 9): chunked
+    execution may OVERSHOOT in compute but never in selection. epoch_chunk=1
+    is exactly the host-per-epoch policy (the host checks patience after
+    every epoch); any larger chunk must stop at the same epoch, select the
+    same best epoch/val, and produce the same test score — the device-side
+    patience gate keeps overshoot epochs from updating the best model."""
+    import os
+
+    from pygat_tpu.models.gat import GATConfig
+    from pygat_tpu.train.logging import TrainLogger
+    from pygat_tpu.train.loop import fit_inductive_banked
+
+    data = _synth_ppi()
+    cfg = GATConfig(nlayers=2, nheads=(2, 2), nfeats=(128, 16, 6), dropout=0.0,
+                    alpha=0.2, layer_type="GAT_sparse", skip_connection=True)
+    # high lr -> oscillating val loss, so the final chunk's overshoot
+    # epochs WILL dip below the pre-stop best (the case the gate exists for)
+    kw = dict(batch_size=2, lr=0.08, weight_decay=0.0, epochs=60, patience=4,
+              checkpoint_dir=None,
+              logger=TrainLogger(stream=open(os.devnull, "w")))
+    a = fit_inductive_banked(cfg, data, epoch_chunk=1, **kw)
+    b = fit_inductive_banked(cfg, data, epoch_chunk=16, **kw)
+
+    assert a.epochs_run < 60, "task must early-stop for this test to bite"
+    assert b.epochs_run == a.epochs_run
+    assert b.best_epoch == a.best_epoch
+    np.testing.assert_allclose(b.best_val_loss, a.best_val_loss, rtol=0)
+    np.testing.assert_allclose(np.asarray(b.history), np.asarray(a.history),
+                               rtol=0)
+    assert b.test_acc == a.test_acc
+    # selection invariant: the best model is the argmin of the HOST-visible
+    # history (strict-< keeps the first minimum, matching np.argmin)
+    for r in (a, b):
+        assert r.best_epoch == int(np.argmin(r.history))
+        np.testing.assert_allclose(r.best_val_loss, min(r.history), rtol=0)

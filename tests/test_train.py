@@ -294,3 +294,71 @@ def test_fast_loop_resume_exactly_continues(tmp_path):
     np.testing.assert_allclose(res.history, full.history, rtol=1e-5, atol=1e-6)
     assert res.best_epoch == full.best_epoch
     np.testing.assert_allclose(res.test_acc, full.test_acc, rtol=1e-5)
+
+
+def test_chunked_best_tracking_respects_patience_stop():
+    """Device-side patience gate (VERDICT r3 item 9): epochs that execute
+    inside a chunk AFTER the host's early stop would have fired must never
+    update the best model, even when their val loss dips below the pre-stop
+    best. Driven deterministically through a scripted apply_fn: a scalar
+    param with (numerically) constant gradient makes the epoch index exactly
+    recoverable on device, and the scripted val-loss sequence dips hard
+    right after the stop point."""
+    import optax
+
+    from pygat_tpu.graph import build_graph
+    from pygat_tpu.models.gat import GATConfig
+    from pygat_tpu.train.loop import make_scanned_epochs_with_best
+    from pygat_tpu.train.state import init_state
+
+    # val-logit script z[t]: val loss = log(1+e^-z) is strictly decreasing
+    # in z. Epoch e evaluates AFTER its update, so it reads z[e+1]:
+    # improvement at e=1, none at e=2,3 (host with patience=2 stops after
+    # e=3), then a huge dip e>=4 that only overshoot epochs see.
+    z = jnp.asarray([0.0, 1.0, 2.0, 1.5, 1.2, 9.0, 9.0, 9.0, 9.0, 9.0, 9.0])
+    k_epochs = 10
+    # The loss head is ELU + log_softmax (reference train.py:151-152), so
+    # keep every scripted logit POSITIVE (elu = identity there). Train node
+    # 0 has label 1 and logits [p, 0]: loss = log(1+e^p) ~ p for p >= 20,
+    # so sgd(1.0) walks p DOWN by exactly 1.0/epoch and the epoch index is
+    # t = p0 - p, recoverable on device.
+    p0 = 30.0
+
+    def apply_fn(params, x, graph, key, train):
+        p = params[0]["p"]
+        t = jnp.clip(jnp.round(p0 - p).astype(jnp.int32), 0, z.shape[0] - 1)
+        out = jnp.zeros((8, 2), jnp.float32)
+        out = out.at[0, 0].set(p)
+        # val row: scripted logit for node 1 (label 0)
+        out = out.at[1, 0].set(z[t])
+        return out
+
+    cfg = GATConfig(nlayers=1, nheads=(1,), nfeats=(2, 2), dropout=0.0,
+                    alpha=0.2, layer_type="GAT_sparse")
+    tx = optax.sgd(1.0)
+    run = make_scanned_epochs_with_best(cfg, tx, k_epochs,
+                                        apply_fn=apply_fn, patience=2)
+    params = [{"p": jnp.asarray(p0, jnp.float32)}]
+    state = init_state(params, tx, jax.random.PRNGKey(0))
+    g = build_graph(np.arange(8), np.arange(8), None, 8)
+    x = jnp.zeros((g.num_nodes_padded, 2))
+    labels = jnp.zeros((g.num_nodes_padded,), jnp.int32).at[0].set(1)
+    idx_tr = jnp.asarray([0])
+    idx_va = jnp.asarray([1])
+
+    carry = (state, jnp.asarray(jnp.inf), params, jnp.asarray(-1, jnp.int32))
+    carry, metrics = run(carry, x, g, labels, idx_tr, idx_va,
+                         jnp.asarray(k_epochs, jnp.int32))
+    vals = np.asarray(metrics[2])
+    # the scripted dip is real: the full chunk's argmin is past the stop
+    host_stop = next(e for e in range(k_epochs)
+                     if e - int(np.argmin(vals[: e + 1])) >= 2)
+    assert host_stop == 3
+    assert int(np.argmin(vals)) >= 4 > host_stop
+    # ...but the device selected the HOST-visible best (epoch 1), not the
+    # overshoot epoch — the pre-fix code returned argmin(vals) here
+    _, best_val, best_params, best_epoch = carry
+    assert int(best_epoch) == int(np.argmin(vals[: host_stop + 1])) == 1
+    np.testing.assert_allclose(float(best_val), vals[1], rtol=0)
+    # best params are epoch 1's post-update params: p0 - 2 steps of 1.0
+    np.testing.assert_allclose(float(best_params[0]["p"]), p0 - 2.0, rtol=0)
