@@ -258,3 +258,32 @@ def test_dense_head_scan_matches_vmap(random_graph_tuple):
                         jax.tree_util.tree_leaves(grad_v)):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                        rtol=1e-4, atol=1e-5)
+
+
+def test_default_matmul_precision_smoke(random_graph_tuple, rng):
+    """conftest pins jax_default_matmul_precision='highest' so parity tests
+    verify lowering rather than bf16 noise — which means the DEFAULT
+    (production) precision is otherwise never exercised by the suite. Run
+    one sparse forward under the default precision with loosened tolerance
+    against the 'highest'-precision output (advisor r3)."""
+    import jax
+
+    from pygat_tpu.models.gat import GATConfig, apply_gat, init_gat
+
+    send, recv, w, n = random_graph_tuple
+    g = build_graph(send, recv, w, n)
+    f_in = 12
+    cfg = GATConfig(nlayers=2, nheads=(4, 2), nfeats=(f_in, 6, 3),
+                    dropout=0.0, alpha=0.2, layer_type="GAT_sparse")
+    params = init_gat(jax.random.PRNGKey(7), cfg)
+    h = jnp.asarray(rng.standard_normal((g.num_nodes_padded, f_in)).astype(np.float32))
+
+    want = apply_gat(params, cfg, h, g, jax.random.PRNGKey(0), train=False)
+    with jax.default_matmul_precision("default"):
+        got = jax.jit(
+            lambda p, x, k: apply_gat(p, cfg, x, g, k, train=False)
+        )(params, h, jax.random.PRNGKey(0))
+    assert bool(jnp.isfinite(got).all())
+    # bf16 one-pass tolerance on TPU; exact-f32 on the CPU mesh
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-2, atol=2e-2)
