@@ -35,7 +35,7 @@ BASELINE_MS = 80.0  # reference sparse Cora epoch, fast end (README.md:30)
 N_EPOCHS = 100
 
 
-def _time_backend(backend: str) -> float:
+def _time_backend(backend: str, dataset: str = "cora") -> float:
     import jax
 
     from pygat_tpu.data.citation import load_citation
@@ -58,10 +58,10 @@ def _time_backend(backend: str) -> float:
     else:
         raise ValueError(backend)
 
-    data = load_citation("cora")
-    cfg = GATConfig(layer_type="GAT_sparse", **PRESETS["cora"])
+    data = load_citation(dataset)
+    cfg = GATConfig(layer_type="GAT_sparse", **PRESETS[dataset])
     cfg = cfg._replace(nfeats=(int(data.features.shape[1]),) + cfg.nfeats[1:])
-    tp = TRAIN_PRESETS["cora"]
+    tp = TRAIN_PRESETS[dataset]
     tx = make_optimizer(tp["lr"], tp["weight_decay"])
 
     run = make_scanned_epochs(cfg, tx, N_EPOCHS)
@@ -95,6 +95,14 @@ def main() -> int:
             results[backend] = _time_backend(backend)
         except Exception as exc:  # pallas may be unavailable off-TPU
             print(f"[bench] backend {backend} failed: {exc}", file=sys.stderr)
+    # Pubmed row (VERDICT r3): the shape where fusion pays — Cora is small
+    # enough that dispatch noise hides the round-3 machinery entirely
+    pubmed = {}
+    for backend in ("fused", "stream"):
+        try:
+            pubmed[backend] = round(_time_backend(backend, "pubmed"), 4)
+        except Exception as exc:
+            print(f"[bench] pubmed {backend} failed: {exc}", file=sys.stderr)
     set_segment_impl("auto")
     from pygat_tpu.ops.fused_stream import set_fused_attention
 
@@ -105,7 +113,8 @@ def main() -> int:
     dt_ms = results[best_backend]
     print(
         f"[bench] platform={jax.devices()[0].platform} device={jax.devices()[0]} "
-        f"per-epoch(ms): {results} -> best={best_backend} "
+        f"cora per-epoch(ms): {results} -> best={best_backend}; "
+        f"pubmed per-epoch(ms): {pubmed} "
         f"({N_EPOCHS} epochs lax.scan-ed on device, fwd+bwd+adam+eval)",
         file=sys.stderr,
     )
@@ -116,6 +125,9 @@ def main() -> int:
                 "value": round(dt_ms, 4),
                 "unit": "ms",
                 "vs_baseline": round(BASELINE_MS / dt_ms, 2),
+                "best_backend": best_backend,
+                "cora_ms": {k: round(v, 4) for k, v in results.items()},
+                "pubmed_ms": pubmed,
             }
         )
     )
