@@ -42,6 +42,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 TILE = 128
+MXU_PREC = jax.lax.Precision.DEFAULT  # see ops/stream.py:MXU_PREC
 
 
 def default_permute_mode(interpret: bool) -> str:
@@ -244,26 +245,21 @@ def _make_permute_kernel(p: int, l: int, mode: str, interpret: bool,
             panels = jnp.concatenate([r[...] for r in panel_refs], axis=0)
             lanes = jax.lax.broadcasted_iota(jnp.int32, (TILE, p * TILE), 1)
             ohf = (lanes == g[:, None]).astype(jnp.float32)
-            if exact:  # permutation rows are 0/1-exact even in bf16,
-                # but the VALUES need f32: split-limb the panels
-                hi = _split_hi(panels)
-                out = jnp.dot(vr(ohf), vr(hi),
-                              preferred_element_type=jnp.float32)
-                out = out + jnp.dot(vr(ohf), vr(panels - hi),
-                                    preferred_element_type=jnp.float32)
+            if exact:
+                # exact mode: one f32 dot at HIGHEST — a permutation must
+                # return the values bit-exactly. (The old two-bf16-limb
+                # split only kept ~16 mantissa bits, and Mosaic's DEFAULT
+                # on f32 operands is a single lossy bf16 pass.)
+                out = jnp.dot(ohf, panels.astype(jnp.float32),
+                              preferred_element_type=jnp.float32,
+                              precision=jax.lax.Precision.HIGHEST)
             else:
                 out = jnp.dot(vr(ohf), vr(panels),
-                              preferred_element_type=jnp.float32)
+                              preferred_element_type=jnp.float32,
+                              precision=MXU_PREC)
             out_ref[:] = out
 
     return kernel
-
-
-def _split_hi(x):
-    return jax.lax.bitcast_convert_type(
-        jax.lax.bitcast_convert_type(x, jnp.uint32) & jnp.uint32(0xFFFF0000),
-        jnp.float32,
-    )
 
 
 def _one_pass_arrays(x, lo, g, p: int, mode: str, interpret: bool,

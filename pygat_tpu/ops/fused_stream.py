@@ -51,7 +51,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from pygat_tpu.ops.stream import EC, TILE
+from pygat_tpu.ops.stream import EC, MXU_PREC, TILE
 
 _FUSED = None  # resolved lazily from the env (tests flip it directly)
 
@@ -134,6 +134,12 @@ def _rounder(two_limb: bool, interpret: bool):
 def _make_v1_kernel(alpha: float, h: int, hf: int, two_limb: bool,
                     interpret: bool):
     mm = _rounder(two_limb, interpret)
+    # High mode keeps f32 operands — the dot must then run exact f32 passes
+    # or Mosaic's DEFAULT (one bf16 pass) silently rounds the values the
+    # limb split was added to preserve (caught by the round-4 compiled-TPU
+    # test run). Fastest mode rounds operands to bf16, where HIGHEST would
+    # not even compile ("Bad lhs type").
+    hp = jax.lax.Precision.HIGHEST if two_limb else MXU_PREC
 
     def kernel(*refs):
         (ct_ref, local_ref, g_ref, keep_ref, fdb_ref, abd_ref,
@@ -157,9 +163,11 @@ def _make_v1_kernel(alpha: float, h: int, hf: int, two_limb: bool,
 
         g = g_ref[0]  # [EC, HF] (bf16 fastest / f32 high)
         l_src = jnp.dot(mm(g), mm(abd_ref[...]),
-                        preferred_element_type=jnp.float32)  # [EC, H]
+                        preferred_element_type=jnp.float32,
+                        precision=hp)  # [EC, H]
         fde = jnp.dot(ohT, fdb_ref[...],
-                      preferred_element_type=jnp.float32)  # [EC, 2H]
+                      preferred_element_type=jnp.float32,
+                      precision=hp)  # [EC, 2H]
         raw = fde[:, :h] + l_src
         logits = jnp.where(raw >= 0, raw, alpha * raw)
         # Dead slots never reach either output (both one-hots are zero
@@ -176,17 +184,22 @@ def _make_v1_kernel(alpha: float, h: int, hf: int, two_limb: bool,
         num = jnp.where(live, jnp.exp(logits - fde[:, h:]), 0.0)  # [EC, H]
         qnum = num * keep_ref[0]
         qnum_hf = jnp.dot(qnum, exp_ref[...],
-                          preferred_element_type=jnp.float32)  # [EC, HF]
+                          preferred_element_type=jnp.float32,
+                          precision=hp)  # [EC, HF]
         msgs = g.astype(jnp.float32) * qnum_hf
         if two_limb:
             hi = _split_hi(msgs)
-            acc = jnp.dot(oh, vr(hi), preferred_element_type=jnp.float32)
+            acc = jnp.dot(oh, vr(hi), preferred_element_type=jnp.float32,
+                                      precision=MXU_PREC)
             acc = acc + jnp.dot(oh, vr(msgs - hi),
-                                preferred_element_type=jnp.float32)
+                                preferred_element_type=jnp.float32,
+                                precision=MXU_PREC)
         else:
-            acc = jnp.dot(oh, vr(msgs), preferred_element_type=jnp.float32)
+            acc = jnp.dot(oh, vr(msgs), preferred_element_type=jnp.float32,
+                                        precision=MXU_PREC)
         out_ref[:] += acc
-        den_ref[:] += jnp.dot(ohf, num, preferred_element_type=jnp.float32)
+        den_ref[:] += jnp.dot(ohf, num, preferred_element_type=jnp.float32,
+                                        precision=hp)
 
     return kernel
 
@@ -194,6 +207,7 @@ def _make_v1_kernel(alpha: float, h: int, hf: int, two_limb: bool,
 def _make_v2_kernel(alpha: float, h: int, hf: int, two_limb: bool,
                     interpret: bool):
     mm = _rounder(two_limb, interpret)
+    hp = jax.lax.Precision.HIGHEST if two_limb else MXU_PREC  # see v1
 
     def kernel(*refs):
         (ct_ref, local_ref, gj_ref, gi_ref, keep_ref, wiub_ref,
@@ -216,12 +230,14 @@ def _make_v2_kernel(alpha: float, h: int, hf: int, two_limb: bool,
         ohT = (lanes == loc[:, None]).astype(jnp.float32)
 
         wiub_e = jnp.dot(ohT, wiub_ref[...],
-                         preferred_element_type=jnp.float32)  # [EC, HF+H]
+                         preferred_element_type=jnp.float32,
+                         precision=hp)  # [EC, HF+H]
         gj = gj_ref[0]  # whj at senders
         pre_raw = wiub_e[:, :hf] + gj.astype(jnp.float32)
         pre = jnp.where(pre_raw >= 0, pre_raw, alpha * pre_raw)
         logits = jnp.dot(mm(pre), mm(abd_ref[...]),
-                         preferred_element_type=jnp.float32)  # [EC, H]
+                         preferred_element_type=jnp.float32,
+                         precision=hp)  # [EC, H]
         # kill dead-slot numerators (see _make_v1_kernel: corner-built
         # windows carry unspecified rows; exp can inf and 0 * inf = NaN;
         # 2D i32 compare — a 1D i1 [:, None] reshape won't lower in Mosaic)
@@ -229,17 +245,22 @@ def _make_v2_kernel(alpha: float, h: int, hf: int, two_limb: bool,
         num = jnp.where(live, jnp.exp(logits - wiub_e[:, hf:]), 0.0)
         qnum = num * keep_ref[0]
         qnum_hf = jnp.dot(qnum, exp_ref[...],
-                          preferred_element_type=jnp.float32)
+                          preferred_element_type=jnp.float32,
+                          precision=hp)
         msgs = gi_ref[0].astype(jnp.float32) * qnum_hf  # whi at senders
         if two_limb:
             hi = _split_hi(msgs)
-            acc = jnp.dot(oh, vr(hi), preferred_element_type=jnp.float32)
+            acc = jnp.dot(oh, vr(hi), preferred_element_type=jnp.float32,
+                                      precision=MXU_PREC)
             acc = acc + jnp.dot(oh, vr(msgs - hi),
-                                preferred_element_type=jnp.float32)
+                                preferred_element_type=jnp.float32,
+                                precision=MXU_PREC)
         else:
-            acc = jnp.dot(oh, vr(msgs), preferred_element_type=jnp.float32)
+            acc = jnp.dot(oh, vr(msgs), preferred_element_type=jnp.float32,
+                                        precision=MXU_PREC)
         out_ref[:] += acc
-        den_ref[:] += jnp.dot(ohf, num, preferred_element_type=jnp.float32)
+        den_ref[:] += jnp.dot(ohf, num, preferred_element_type=jnp.float32,
+                                        precision=hp)
 
     return kernel
 

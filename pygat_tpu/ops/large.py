@@ -35,7 +35,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from pygat_tpu.ops.corner import CornerPlan, plan_corner_turn
-from pygat_tpu.ops.stream import DEAD, EC, TILE, stream_scatter
+from pygat_tpu.ops.stream import DEAD, EC, MXU_PREC, TILE, stream_scatter
 
 
 # ---------------------------------------------------------------------------
@@ -50,8 +50,13 @@ def _make_expand_kernel(l: int, interpret: bool):
         loc = local_ref[0, i % 8, :]  # [EC]; DEAD = padding slot
         lanes = jax.lax.broadcasted_iota(jnp.int32, (EC, TILE), 1)
         ohT = (lanes == loc[:, None]).astype(jnp.float32)
+        # Pure data movement: the one-hot select must preserve the f32
+        # values exactly. Mosaic's DEFAULT runs ONE bf16 pass on f32
+        # operands — the compiled expand then rounds every gathered value
+        # to bf16 (verified on-chip, round 4; interpret mode hides it).
         out_ref[0] = jnp.dot(ohT, x_ref[...],
-                             preferred_element_type=jnp.float32)
+                             preferred_element_type=jnp.float32,
+                             precision=jax.lax.Precision.HIGHEST)
 
     return kernel
 

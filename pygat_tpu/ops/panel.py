@@ -44,7 +44,7 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from pygat_tpu.ops.stream import DEAD, EC, TILE
+from pygat_tpu.ops.stream import DEAD, EC, MXU_PREC, TILE
 
 _LANE = 128
 
@@ -181,8 +181,16 @@ def _make_spmm_kernel(p: int, l_pad: int, two_limb: bool, interpret: bool,
             panels = jnp.concatenate([r[...] for r in panel_refs], axis=0)
             lanes = jax.lax.broadcasted_iota(jnp.int32, (EC, p * TILE), 1)
             oh = (lanes == gi[:, None]).astype(jnp.float32)
-            gath = jnp.dot(vr(oh), mm(panels),
-                           preferred_element_type=jnp.float32)
+            if two_limb:
+                # high mode: the select must keep panel values f32-exact —
+                # Mosaic's DEFAULT on f32 operands is one lossy bf16 pass
+                gath = jnp.dot(oh, panels.astype(jnp.float32),
+                               preferred_element_type=jnp.float32,
+                               precision=jax.lax.Precision.HIGHEST)
+            else:
+                gath = jnp.dot(vr(oh), mm(panels),
+                               preferred_element_type=jnp.float32,
+                               precision=MXU_PREC)
         # dead + overflow slots carry w == 0 (covers mode='take' clamping)
         msgs = gath * w[:, None]
 
@@ -190,11 +198,14 @@ def _make_spmm_kernel(p: int, l_pad: int, two_limb: bool, interpret: bool,
         ohs = vr((rows == loc[None, :]).astype(jnp.float32))
         if two_limb:
             hi = _split_hi(msgs)
-            acc = jnp.dot(ohs, vr(hi), preferred_element_type=jnp.float32)
+            acc = jnp.dot(ohs, vr(hi), preferred_element_type=jnp.float32,
+                                       precision=MXU_PREC)
             acc = acc + jnp.dot(ohs, vr(msgs - hi),
-                                preferred_element_type=jnp.float32)
+                                preferred_element_type=jnp.float32,
+                                precision=MXU_PREC)
         else:
-            acc = jnp.dot(ohs, vr(msgs), preferred_element_type=jnp.float32)
+            acc = jnp.dot(ohs, vr(msgs), preferred_element_type=jnp.float32,
+                                         precision=MXU_PREC)
         out_ref[:] += acc
 
     return kernel

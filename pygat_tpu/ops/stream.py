@@ -51,6 +51,14 @@ TILE = 128  # output row tile (lane width)
 DEAD = TILE  # chunk-local row id marking a padding slot (one-hot never fires)
 _ALIGN = 8 * EC  # stream length granularity (local ids pack as (8, EC) blocks)
 
+# Every in-kernel dot pins this precision: the kernels control operand
+# rounding EXPLICITLY (bf16 casts / two-limb splits), so the global
+# jax_default_matmul_precision must never leak in — 'highest' makes Mosaic
+# emit contract_precision=fp32 on bf16 vectors, which fails to compile
+# ("Bad lhs type", found by the round-4 PYGAT_TPU_TESTS run under the test
+# conftest's global 'highest').
+MXU_PREC = jax.lax.Precision.DEFAULT
+
 
 class StreamLayout(NamedTuple):
     """Host-built chunking of one sorted edge order (numpy, pre-device).
@@ -161,10 +169,12 @@ def _make_kernel(two_limb: bool, l_pad: int):
         oh = jnp.where(rows == loc[None, :], 1.0, 0.0).astype(jnp.bfloat16)
 
         win = data_ref[0]  # [EC, l_pad or 2*l_pad] bf16
-        acc = jnp.dot(oh, win[:, :l_pad], preferred_element_type=jnp.float32)
+        acc = jnp.dot(oh, win[:, :l_pad], preferred_element_type=jnp.float32,
+                      precision=MXU_PREC)
         if two_limb:
             acc = acc + jnp.dot(
-                oh, win[:, l_pad:], preferred_element_type=jnp.float32
+                oh, win[:, l_pad:], preferred_element_type=jnp.float32,
+                precision=MXU_PREC,
             )
         out_ref[:] += acc
 

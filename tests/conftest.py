@@ -30,8 +30,10 @@ else:
     # f32 tolerances; TPU's DEFAULT matmul precision is one bf16 pass,
     # which drowns those comparisons in ~1e-3 rounding noise. Force exact
     # f32 matmuls for the XLA sides so the tests verify the Mosaic
-    # lowering, not bf16 noise. (The Pallas kernels control their own
-    # operand rounding explicitly and are unaffected.)
+    # lowering, not bf16 noise. (The Pallas kernels pin their in-kernel
+    # dots to ops/stream.MXU_PREC — they control operand rounding
+    # explicitly — so this global cannot leak into them; an unpinned
+    # 'highest' on bf16 kernel operands fails Mosaic compile outright.)
     jax.config.update("jax_default_matmul_precision", "highest")
 jax.config.update("jax_enable_x64", False)
 
