@@ -317,6 +317,74 @@ def repad_citation(ds: CitationDataset, n_pad: int) -> CitationDataset:
                        labels=jnp.asarray(labels))
 
 
+def interleave_citation(ds: CitationDataset, n_shards: int,
+                        n_pad: int | None = None) -> CitationDataset:
+    """Cyclic node relabel that balances the ring edge partition's blocks.
+
+    Contiguous shard ranges concentrate id-local edges (RCM output,
+    citation crawls, self loops) in the DIAGONAL blocks of the
+    (dest_shard, src_shard) grid, and ``partition_edges`` pads every block
+    to the global max — measured 2.6x the mean block at 8 shards on the
+    bench_scaling graph, i.e. 2.6x padded per-hop work for the ring. This
+    transform deals real node ``v`` to shard ``v % d`` at rank ``v // d``,
+    spreading every neighborhood across shards so block loads approach
+    ``E / d^2`` (self loops spread evenly over the diagonal, which is their
+    floor). Padding ids fill each shard's tail, so the dummy node
+    ``n_pad - 1`` stays padding and the per-shard real rows are a prefix of
+    the shard range (but NOT a global prefix — the graph carries an
+    explicit node_mask).
+
+    Training is node-permutation-equivariant: losses/accuracies match an
+    unpermuted run up to float reassociation in the segment sums.
+    Used by the ring path only (train/loop.py::_ring_setup); a multiple of
+    ``128 * n_shards`` is required for ``n_pad`` (the per-shard stream-tile
+    contract), defaulting to the dataset's current padding.
+    """
+    from pygat_tpu.graph import build_graph
+
+    g = ds.graph
+    d = int(n_shards)
+    n_real = int(g.n_node)
+    if n_pad is None:
+        n_pad = g.num_nodes_padded
+    if n_pad % (128 * d):
+        raise ValueError(f"n_pad={n_pad} not a multiple of 128*{d}")
+    if n_pad <= n_real:
+        raise ValueError(f"n_pad={n_pad} too small for {n_real} real nodes")
+    n_local = n_pad // d
+
+    old_real = np.arange(n_real, dtype=np.int64)
+    new_of_real = (old_real % d) * n_local + old_real // d
+    # per-shard real counts differ by <= 1 and n_real < n_pad, so every
+    # new id lands inside its shard range and the dummy slot stays free
+    assert int(new_of_real.max()) < n_pad - 1 or n_real == 0
+
+    mask_new = np.zeros(n_pad, bool)
+    mask_new[new_of_real] = True
+
+    emask = np.asarray(g.edge_mask)
+    send = new_of_real[np.asarray(g.senders)[emask]]
+    recv = new_of_real[np.asarray(g.receivers)[emask]]
+    w = np.asarray(g.edge_weight)[emask]
+    g2 = build_graph(send, recv, w, n_real, n_pad=n_pad, node_mask=mask_new)
+
+    feats = np.asarray(ds.features)
+    f_new = np.zeros((n_pad, feats.shape[1]), feats.dtype)
+    f_new[new_of_real] = feats[:n_real]
+    labels = np.asarray(ds.labels)
+    l_new = np.full(n_pad, -1, labels.dtype)
+    l_new[new_of_real] = labels[:n_real]
+    remap = lambda idx: jnp.asarray(new_of_real[np.asarray(idx)])  # noqa: E731
+    return ds._replace(
+        graph=g2,
+        features=jnp.asarray(f_new),
+        labels=jnp.asarray(l_new),
+        idx_train=remap(ds.idx_train),
+        idx_val=remap(ds.idx_val),
+        idx_test=remap(ds.idx_test),
+    )
+
+
 def dataset_stats(ds: CitationDataset) -> dict:
     """Startup stats mirroring the reference prints (train.py:104-110)."""
     n = int(ds.graph.n_node)

@@ -106,12 +106,19 @@ def build_graph(
     e_pad: int | None = None,
     node_align: int = LANE,
     edge_align: int = LANE,
+    node_mask: np.ndarray | None = None,
 ) -> Graph:
     """Host-side constructor: sort, pad, CSR-ify, device_put.
 
     ``senders[e] -> receivers[e]`` must already include any self loops the
     model expects (the citation pipeline adds them during normalization,
     reference ``utils.py:52``).
+
+    ``node_mask``: explicit [n_pad] real-node mask for NON-prefix node
+    layouts (the ring's balance interleave scatters real ids across shard
+    ranges, data/citation.py::interleave_citation). Requires ``n_pad``;
+    edge endpoints may then reference any non-dummy slot. Default: real
+    nodes are the prefix ``[0, num_nodes)``.
     """
     senders = np.asarray(senders, dtype=np.int64)
     receivers = np.asarray(receivers, dtype=np.int64)
@@ -122,7 +129,15 @@ def build_graph(
         edge_weight = np.ones((num_edges,), dtype=np.float32)
     edge_weight = np.asarray(edge_weight, dtype=np.float32)
 
-    if num_edges and (senders.min() < 0 or max(senders.max(), receivers.max()) >= num_nodes):
+    if node_mask is not None:
+        if n_pad is None or node_mask.shape != (n_pad,):
+            raise ValueError("explicit node_mask requires a matching n_pad")
+        if node_mask[n_pad - 1]:
+            raise ValueError("node_mask must leave the dummy row n_pad-1 free")
+        id_limit = n_pad - 1  # any non-dummy slot may carry a real node
+    else:
+        id_limit = num_nodes
+    if num_edges and (senders.min() < 0 or max(senders.max(), receivers.max()) >= id_limit):
         raise ValueError("edge endpoints out of range")
 
     # Always pad by >= 1 node so N_pad - 1 is a guaranteed dummy row.
@@ -147,8 +162,9 @@ def build_graph(
     edge_weight = edge_weight[order]
 
     dummy = n_pad - 1
-    node_mask = np.zeros((n_pad,), dtype=bool)
-    node_mask[:num_nodes] = True
+    if node_mask is None:
+        node_mask = np.zeros((n_pad,), dtype=bool)
+        node_mask[:num_nodes] = True
 
     stream_fields: dict = {}
     if n_pad % 128 == 0:

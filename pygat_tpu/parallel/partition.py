@@ -119,11 +119,25 @@ def partition_edges(graph: Graph, n_shards: int) -> EdgePartition:
 
     if n_local % 128 == 0:
         # stream-aligned blocks: chunk-of-256 edges -> one 128-row tile
-        from pygat_tpu.ops.stream import EC, build_stream_layout, stream_length
+        from pygat_tpu.ops.stream import _ALIGN, EC, build_stream_layout
 
-        e_blk = stream_length(e_raw, n_local)
-        e_s2 = stream_length(e_blk, n_local)
         d = n_shards
+        n_tiles = n_local // 128
+
+        # EXACT stream length per block (not stream_length's worst-case
+        # degree-distribution bound, which at small blocks more than
+        # doubles the padded per-hop work): each 128-row tile needs
+        # ceil(count / EC) chunks, and every tile — empty included — costs
+        # at least one chunk (the kernel zero-initializes an output block
+        # on the first grid step that visits it).
+        def _chunks_needed(local_ids: np.ndarray) -> int:
+            key2 = (dsh * d + ssh) * n_tiles + local_ids // 128
+            per_tile = np.bincount(key2, minlength=d * d * n_tiles)
+            per_tile = per_tile.reshape(d * d, n_tiles)
+            return int(np.maximum(-(-per_tile // EC), 1).sum(axis=1).max())
+
+        e_blk = -(-_chunks_needed(rl_all) * EC // _ALIGN) * _ALIGN
+        e_s2 = -(-_chunks_needed(sl_all) * EC // _ALIGN) * _ALIGN
         recv_l = np.zeros((d, d, e_blk), np.int32)
         send_l = np.zeros((d, d, e_blk), np.int32)
         msk = np.zeros((d, d, e_blk), bool)

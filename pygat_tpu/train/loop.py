@@ -105,12 +105,15 @@ def _ring_setup(cfg: GATConfig, data, mesh):
 
     Repads the graph so each data-shard's node range is 128-row-tile
     aligned (``N_pad % (128 * D) == 0`` — the per-shard stream-kernel
-    contract), builds the edge partition, and returns the ring forward.
-    Unlike GSPMD, the ring path keeps the Pallas stream kernel under
-    distribution (it runs per device inside shard_map), so the segment
-    impl is NOT pinned to scatter.
+    contract), relabels nodes with the balance interleave (cyclic deal of
+    real nodes across shards, ``interleave_citation`` — contiguous ranges
+    concentrate id-local edges in the diagonal partition blocks and every
+    block pads to the max, measured 2.6x the mean at 8 shards), builds the
+    edge partition, and returns the ring forward. Unlike GSPMD, the ring
+    path keeps the Pallas stream kernel under distribution (it runs per
+    device inside shard_map), so the segment impl is NOT pinned to scatter.
     """
-    from pygat_tpu.data.citation import repad_citation
+    from pygat_tpu.data.citation import interleave_citation
     from pygat_tpu.parallel.mesh import DATA_AXIS
     from pygat_tpu.parallel.partition import partition_edges
     from pygat_tpu.parallel.ring_model import ring_apply_gat
@@ -121,8 +124,7 @@ def _ring_setup(cfg: GATConfig, data, mesh):
     unit = 128 * d
     n_pad = data.graph.num_nodes_padded
     want = -(-max(n_pad, int(data.graph.n_node) + 1) // unit) * unit
-    if want != n_pad:
-        data = repad_citation(data, want)
+    data = interleave_citation(data, d, n_pad=want)
     part = partition_edges(data.graph, d)
 
     def apply_fn(params, x, graph, key, train):

@@ -302,3 +302,110 @@ def test_ring_v2_attention_matches_layer(setup):
                                 alpha=alpha)
     np.testing.assert_allclose(np.asarray(_from_out(got)), np.asarray(want),
                                rtol=1e-4, atol=1e-5)
+
+
+# ---------------------------------------------------------------------------
+# Balance interleave (round 4): cyclic node relabel feeding the ring path.
+# ---------------------------------------------------------------------------
+
+
+def _idlocal_dataset():
+    """Synthetic citation stand-in whose edges are id-local (like RCM
+    output), so the contiguous partition is diagonal-heavy."""
+    import __graft_entry__ as ge
+
+    return ge._synthetic_citation(900, 64, 3, "interleave-test", n_pad=1024)
+
+
+def test_interleave_preserves_dataset_semantics():
+    from pygat_tpu.data.citation import interleave_citation
+
+    data = _idlocal_dataset()
+    d = 4
+    out = interleave_citation(data, d)
+    g0, g1 = data.graph, out.graph
+    assert int(g1.n_node) == int(g0.n_node)
+    assert int(g1.n_edge) == int(g0.n_edge)
+    assert int(g1.node_mask.sum()) == int(g0.node_mask.sum())
+    # real node v moved to (v % d) * n_local + v // d; features and labels
+    # moved with it, idx arrays remapped through the same permutation
+    n_real = int(g0.n_node)
+    n_local = g1.num_nodes_padded // d
+    v = np.arange(n_real)
+    new = (v % d) * n_local + v // d
+    np.testing.assert_array_equal(np.asarray(out.labels)[new],
+                                  np.asarray(data.labels)[:n_real])
+    np.testing.assert_allclose(np.asarray(out.features)[new],
+                               np.asarray(data.features)[:n_real])
+    np.testing.assert_array_equal(np.asarray(out.idx_test),
+                                  new[np.asarray(data.idx_test)])
+    # same multiset of edges under the relabeling
+    m0, m1 = np.asarray(g0.edge_mask), np.asarray(g1.edge_mask)
+    e0 = {(int(new[s]), int(new[r]))
+          for s, r in zip(np.asarray(g0.senders)[m0],
+                          np.asarray(g0.receivers)[m0])}
+    e1 = {(int(s), int(r))
+          for s, r in zip(np.asarray(g1.senders)[m1],
+                          np.asarray(g1.receivers)[m1])}
+    assert e0 == e1
+    # per-shard real rows are a prefix of the shard range, dummy stays free
+    mask = np.asarray(g1.node_mask).reshape(d, n_local)
+    assert not mask[-1, -1]
+    for s in range(d):
+        k = int(mask[s].sum())
+        assert mask[s, :k].all() and not mask[s, k:].any()
+
+
+def test_interleave_balances_ring_blocks():
+    """On an id-local graph the interleave must not increase the padded
+    block length, and the balanced per-block max must drop toward the
+    mean (diagonal self loops are the floor)."""
+    from pygat_tpu.data.citation import interleave_citation
+
+    data = _idlocal_dataset()
+    d = 4
+    out = interleave_citation(data, d)
+    p0 = partition_edges(data.graph, d)
+    p1 = partition_edges(out.graph, d)
+    assert p1.recv_local.shape[2] <= p0.recv_local.shape[2]
+
+    def max_block(g):
+        m = np.asarray(g.edge_mask)
+        send = np.asarray(g.senders)[m]
+        recv = np.asarray(g.receivers)[m]
+        nl = g.num_nodes_padded // d
+        c = np.zeros((d, d), np.int64)
+        np.add.at(c, (recv // nl, send // nl), 1)
+        return int(c.max())
+
+    assert max_block(out.graph) < max_block(data.graph)
+
+
+def test_interleaved_ring_matches_plain_forward():
+    """ring attention on the interleaved graph == single-device XLA on the
+    ORIGINAL graph, compared through the permutation."""
+    from pygat_tpu.data.citation import interleave_citation
+    from pygat_tpu.models.gat import GATConfig, apply_gat, init_gat
+    from pygat_tpu.parallel.ring_model import ring_apply_gat
+
+    data = _idlocal_dataset()
+    d = 4
+    out = interleave_citation(data, d)
+    n_real = int(data.graph.n_node)
+    n_local = out.graph.num_nodes_padded // d
+    v = np.arange(n_real)
+    new = (v % d) * n_local + v // d
+
+    cfg = GATConfig(nlayers=2, nheads=(4, 2), nfeats=(64, 8, 3),
+                    dropout=0.0, alpha=0.2, layer_type="GAT_sparse")
+    params = init_gat(jax.random.PRNGKey(7), cfg)
+    key = jax.random.PRNGKey(0)
+    want = apply_gat(params, cfg, data.features, data.graph, key, train=False)
+    mesh = make_mesh(d, 2)
+    from pygat_tpu.parallel.partition import partition_edges as pe
+    part = pe(out.graph, d)
+    got = ring_apply_gat(params, cfg, out.features, part, mesh, key,
+                         train=False)
+    np.testing.assert_allclose(np.asarray(got)[new],
+                               np.asarray(want)[:n_real],
+                               rtol=2e-4, atol=1e-5)
