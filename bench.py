@@ -33,6 +33,41 @@ import time
 
 BASELINE_MS = 80.0  # reference sparse Cora epoch, fast end (README.md:30)
 N_EPOCHS = 100
+HBM_GBPS = 819.0  # TPU v5e nominal HBM bandwidth
+
+# Large-N synthetic row (VERDICT r4 item 3): one fused-attention forward at
+# a scale where the wh table cannot stay VMEM-resident — the regime the
+# BASELINE north-star ("SpMM/SDDMM at HBM speed-of-light") is about.
+# Clustered graph + RCM-style locality is the stated precondition of the
+# panel path (real graphs get it via --reorder).
+LARGE_N, LARGE_DEG, LARGE_H, LARGE_F = 262_144, 16, 4, 32
+
+
+def _epoch_traffic_bytes(data, cfg) -> tuple[int, int]:
+    """(min HBM bytes per epoch, sparse edge-visits per epoch) under the
+    documented floor model.  Per sparse layer application: the [E, HF]
+    gathered window is written+read once in bf16 (2 B), the [N, *] node
+    tables are read and the [N, HF+H] outputs written in f32; the
+    projection reads its input and writes wh.  One epoch = train forward +
+    backward (~2x forward bytes) + eval forward = 4x forward bytes; edge
+    visits count 3 model applications (fwd, bwd, eval fwd) per layer."""
+    g = data.graph
+    e_pad = int(g.num_edges_padded)
+    n_pad = int(g.num_nodes_padded)
+    e_real = int(g.n_edge)
+    nfeats, nheads = cfg.nfeats, cfg.nheads
+    fwd = 0
+    for layer in range(len(nheads)):
+        h = nheads[layer]
+        f_out = nfeats[layer + 1]
+        hf = h * f_out
+        f_in = nfeats[layer] * (nheads[layer - 1] if layer else 1)
+        fwd += n_pad * f_in * 4 + n_pad * hf * 4  # projection read+write
+        fwd += 2 * e_pad * hf * 2                 # window write+read (bf16)
+        fwd += n_pad * (hf + 2 * h) * 4           # node tables read
+        fwd += n_pad * (hf + h) * 4               # numerator+den write
+    n_layers = len(nheads)
+    return 4 * fwd, 3 * n_layers * e_real
 
 
 def _time_backend(backend: str, dataset: str = "cora") -> float:
@@ -81,7 +116,84 @@ def _time_backend(backend: str, dataset: str = "cora") -> float:
     for _ in range(reps):
         out_state, metrics = run(*args)
         float(metrics[2][-1])
-    return (time.perf_counter() - t0) / (reps * N_EPOCHS) * 1e3
+    dt_ms = (time.perf_counter() - t0) / (reps * N_EPOCHS) * 1e3
+
+    bytes_floor, edge_visits = _epoch_traffic_bytes(data, cfg)
+    sol_ms = bytes_floor / HBM_GBPS / 1e6
+    return {
+        "ms": round(dt_ms, 4),
+        "edges_per_s": round(edge_visits / (dt_ms / 1e3)),
+        "roofline_frac": round(sol_ms / dt_ms, 4),
+    }
+
+
+def _time_large_fused() -> dict:
+    """Fused v1 attention forward at LARGE_N (clustered graph): the
+    north-star kernel row.  Measures BOTH window builds — the XLA take
+    gather (collapses past ~300k nodes) and the banded VMEM-window kernel
+    (ops/banded.py) — and reports each plus the winner."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from benchmarks.bench_kernels import _devtime, _graph
+    from pygat_tpu.ops.banded import build_band_plan, fused_v1_attention_banded
+    from pygat_tpu.ops.fused_stream import fused_v1_attention
+
+    interp = jax.default_backend() != "tpu"
+    g = _graph(LARGE_N, LARGE_DEG, clustered=True)
+    n_pad, e_pad = g.num_nodes_padded, g.num_edges_padded
+    plan = build_band_plan(g, w=4)
+    hf = LARGE_H * LARGE_F
+    rng = np.random.default_rng(1)
+    wh = jnp.asarray(rng.standard_normal((n_pad, hf)).astype(np.float32))
+    f_dst = jnp.asarray(
+        rng.standard_normal((n_pad, LARGE_H)).astype(np.float32))
+    bound = jnp.abs(f_dst) + 2.0
+    a_src = jnp.asarray(
+        rng.standard_normal((LARGE_H, LARGE_F)).astype(np.float32) * 0.1)
+    keepq = jnp.ones((e_pad, LARGE_H), jnp.float32)
+    keepq_b = jnp.ones((plan.num_slots, LARGE_H), jnp.float32)
+
+    def run_take(wh, f_dst, bound, a_src, keepq, gg):
+        return fused_v1_attention(
+            wh, f_dst, bound, a_src, keepq, gg.senders, gg.receivers,
+            gg.r_local, gg.r_chunk, gg.c_slot, gg.c_local, gg.c_chunk,
+            0.2, "fastest", interp)[0]
+
+    def run_banded(wh, f_dst, bound, a_src, keepq, pp):
+        return fused_v1_attention_banded(
+            wh, f_dst, bound, a_src, keepq, pp,
+            alpha=0.2, precision="fastest", interpret=interp)[0]
+
+    # min-traffic floor: read the wh table + node tables once, write out+den
+    traffic = (n_pad * hf * 4 + n_pad * 2 * LARGE_H * 4
+               + n_pad * (hf + LARGE_H) * 4 + e_pad * LARGE_H * 4)
+    sol_ms = traffic / HBM_GBPS / 1e6
+    e_real = int(g.n_edge)
+    out: dict = {"config": {"n": LARGE_N, "deg": LARGE_DEG, "h": LARGE_H,
+                            "f": LARGE_F, "clustered": True,
+                            "band_fill": round(plan.fill, 3)}}
+    for name, fn, args in (
+        ("take", run_take, (wh, f_dst, bound, a_src, keepq, g)),
+        ("banded", run_banded, (wh, f_dst, bound, a_src, keepq_b, plan)),
+    ):
+        try:
+            dt = _devtime(fn, *args, k1=2, k2=6)
+        except Exception as exc:  # record, keep the other row
+            out[name] = {"error": str(exc)[:200]}
+            continue
+        out[name] = {
+            "ms": round(dt * 1e3, 3),
+            "edges_per_s": round(e_real / dt),
+            "roofline_frac": round(sol_ms / (dt * 1e3), 4),
+        }
+    good = {k: v for k, v in out.items()
+            if k in ("take", "banded") and "ms" in v}
+    if good:
+        best = min(good, key=lambda k: good[k]["ms"])
+        out.update(best=best, **good[best])
+    return out
 
 
 def main() -> int:
@@ -100,21 +212,28 @@ def main() -> int:
     pubmed = {}
     for backend in ("fused", "stream"):
         try:
-            pubmed[backend] = round(_time_backend(backend, "pubmed"), 4)
+            pubmed[backend] = _time_backend(backend, "pubmed")
         except Exception as exc:
             print(f"[bench] pubmed {backend} failed: {exc}", file=sys.stderr)
+    # Large-N synthetic kernel row (VERDICT r4 item 3): tracks the
+    # north-star (roofline fraction) where the wh table exceeds VMEM
+    large = None
+    try:
+        large = _time_large_fused()
+    except Exception as exc:
+        print(f"[bench] large-N row failed: {exc}", file=sys.stderr)
     set_segment_impl("auto")
     from pygat_tpu.ops.fused_stream import set_fused_attention
 
     set_fused_attention("auto")
     if not results:
         raise SystemExit("no backend produced a measurement")
-    best_backend = min(results, key=results.get)
-    dt_ms = results[best_backend]
+    best_backend = min(results, key=lambda k: results[k]["ms"])
+    dt_ms = results[best_backend]["ms"]
     print(
         f"[bench] platform={jax.devices()[0].platform} device={jax.devices()[0]} "
-        f"cora per-epoch(ms): {results} -> best={best_backend}; "
-        f"pubmed per-epoch(ms): {pubmed} "
+        f"cora: {results} -> best={best_backend}; "
+        f"pubmed: {pubmed}; large_fused: {large} "
         f"({N_EPOCHS} epochs lax.scan-ed on device, fwd+bwd+adam+eval)",
         file=sys.stderr,
     )
@@ -126,8 +245,9 @@ def main() -> int:
                 "unit": "ms",
                 "vs_baseline": round(BASELINE_MS / dt_ms, 2),
                 "best_backend": best_backend,
-                "cora_ms": {k: round(v, 4) for k, v in results.items()},
-                "pubmed_ms": pubmed,
+                "cora": results,
+                "pubmed": pubmed,
+                "large_fused_fwd": large,
             }
         )
     )

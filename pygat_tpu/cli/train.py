@@ -102,6 +102,19 @@ def main(argv=None) -> int:
     random.seed(args.seed)
     np.random.seed(args.seed)
 
+    # Multi-host init must run BEFORE the first JAX computation: load_citation
+    # device-puts arrays, which initializes the local backend and makes
+    # jax.distributed.initialize() raise (ADVICE r4; train_ppi.py already
+    # ordered it this way).
+    if args.distributed:
+        from pygat_tpu.parallel.mesh import initialize_distributed
+
+        multi = initialize_distributed()
+        import jax as _jax
+        print(f"distributed init: {'multi-host' if multi else 'single-host'} "
+              f"({len(_jax.devices())} global / "
+              f"{len(_jax.local_devices())} local devices)")
+
     from pygat_tpu.data.citation import dataset_stats, load_citation
     from pygat_tpu.models.gat import GATConfig
     from pygat_tpu.models.presets import PRESETS, TRAIN_PRESETS
@@ -152,14 +165,6 @@ def main(argv=None) -> int:
         logger=logger,
         log_every=args.log_every,
     )
-    if args.distributed:
-        from pygat_tpu.parallel.mesh import initialize_distributed
-
-        multi = initialize_distributed()
-        import jax as _jax
-        print(f"distributed init: {'multi-host' if multi else 'single-host'} "
-              f"({len(_jax.devices())} global / "
-              f"{len(_jax.local_devices())} local devices)")
     mesh = None
     if args.mesh:
         from pygat_tpu.parallel.mesh import make_mesh

@@ -357,7 +357,7 @@ def interleave_citation(ds: CitationDataset, n_shards: int,
     new_of_real = (old_real % d) * n_local + old_real // d
     # per-shard real counts differ by <= 1 and n_real < n_pad, so every
     # new id lands inside its shard range and the dummy slot stays free
-    assert int(new_of_real.max()) < n_pad - 1 or n_real == 0
+    assert n_real == 0 or int(new_of_real.max()) < n_pad - 1
 
     mask_new = np.zeros(n_pad, bool)
     mask_new[new_of_real] = True

@@ -55,12 +55,32 @@ def initialize_distributed(**kwargs) -> bool:
     import os
     import sys
 
+    def _already_initialized() -> bool:
+        # Structured state first (ADVICE r4): the distributed client object
+        # outlives the call and doesn't depend on error-message wording.
+        try:
+            from jax._src import distributed as _dist
+
+            return _dist.global_state.client is not None
+        except Exception:
+            return False
+
+    if _already_initialized():
+        return True  # e.g. the launcher already initialized
     try:
         jax.distributed.initialize(**kwargs)
         return True
     except RuntimeError as exc:
-        if "only be called once" in str(exc):
+        if "only be called once" in str(exc) or _already_initialized():
             return True  # already initialized (e.g. by the launcher)
+
+        def _slurm_nodes() -> int:
+            # unparseable values (site-specific strings) are not a hint
+            try:
+                return int(os.environ.get("SLURM_JOB_NUM_NODES", "1") or 1)
+            except ValueError:
+                return 1
+
         cluster_hint = any(
             os.environ.get(v)
             for v in ("JAX_COORDINATOR_ADDRESS", "COORDINATOR_ADDRESS",
@@ -68,7 +88,7 @@ def initialize_distributed(**kwargs) -> bool:
         ) or "," in os.environ.get("TPU_WORKER_HOSTNAMES", "") or (
             # single-host values like 'localhost' (the axon runtime sets
             # one at interpreter startup) are not a cluster
-            int(os.environ.get("SLURM_JOB_NUM_NODES", "1") or 1) > 1
+            _slurm_nodes() > 1
         )
         if "before any JAX calls" in str(exc) and not kwargs \
                 and not cluster_hint:
