@@ -502,8 +502,24 @@ def gat_v1_sparse_heads(
             leaky_relu(f_dst_n + m_src[None, :], alpha))
         interp = _seg._stream_interpret()
         if plans is not None:
-            # million-node path: sender windows by CSC expand + corner-turn
-            # (no serialized row gather, forward or backward)
+            from pygat_tpu.ops import banded as _bd
+
+            if isinstance(plans, _bd.BandPlan):
+                # large-N path: banded VMEM windows (ops/banded.py) — no
+                # serialized row gather in the forward; keep mask drawn
+                # over BANDED slots (a different rng stream, same
+                # distribution — like fused vs unfused)
+                keepq = _att_keepq(k_att, keep, plans.num_slots, n_heads,
+                                   use_drop)
+                agg, den = _bd.fused_v1_attention_banded(
+                    wh, f_dst_n, bound, params.a[:, f_out:], keepq, plans,
+                    alpha=alpha, precision=_seg._STREAM_PRECISION,
+                    interpret=interp,
+                )
+                out = softmax_div(agg.reshape(n, n_heads, f_out), den)
+                return _heads_tail(out, params, h, x_h, concat)
+            # million-node opt-in path: sender windows by CSC expand +
+            # corner-turn (no serialized row gather, forward or backward)
             from pygat_tpu.ops import fused_corner as _fcn
 
             keepq = _att_keepq(k_att, keep, e_pad, n_heads, use_drop)
@@ -656,7 +672,20 @@ def gat_v2_sparse_heads(
         ub = jax.lax.stop_gradient(ub)  # [N, H]
         interp = _seg._stream_interpret()
         if plans is not None:
-            # million-node path (see the v1 branch / ops/fused_corner.py)
+            from pygat_tpu.ops import banded as _bd
+
+            if isinstance(plans, _bd.BandPlan):
+                # large-N banded path (see the v1 branch / ops/banded.py)
+                keepq = _att_keepq(k_att if use_drop else None, keep,
+                                   plans.num_slots, n_heads, use_drop)
+                agg, den = _bd.fused_v2_attention_banded(
+                    whi, whj, ub, params.a, keepq, plans,
+                    alpha=alpha, precision=_seg._STREAM_PRECISION,
+                    interpret=interp,
+                )
+                out = softmax_div(agg.reshape(n, n_heads, f_out), den)
+                return _heads_tail(out, params, h, x_h, concat)
+            # million-node opt-in path (see v1 / ops/fused_corner.py)
             from pygat_tpu.ops import fused_corner as _fcn
 
             keepq = _att_keepq(k_att if use_drop else None, keep, e_pad,

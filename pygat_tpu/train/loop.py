@@ -20,7 +20,7 @@ import optax
 from pygat_tpu.data.citation import CitationDataset
 from pygat_tpu.graph import Graph
 from pygat_tpu.models.gat import GATConfig, apply_gat, init_gat
-from pygat_tpu.ops.large import maybe_plan_corner
+from pygat_tpu.ops.banded import maybe_plan_large
 from pygat_tpu.train import checkpoint as ckpt
 from pygat_tpu.train.logging import TrainLogger
 from pygat_tpu.train.metrics import (
@@ -43,7 +43,8 @@ def make_transductive_steps(
     the GSPMD multi-device path passes 'scatter' because a Pallas custom
     call cannot be partition-propagated. ``apply_fn(params, x, graph, key,
     train)`` substitutes the forward (the ring halo-exchange path plugs in
-    here). ``plans`` (ops.large.CscCsrPlans, see maybe_plan_corner) swaps
+    here). ``plans`` (ops.banded.BandPlan or ops.large.CscCsrPlans, see
+    maybe_plan_large) swaps
     the fused layers' sender-window gather for the gather-free corner
     build on million-node graphs."""
     from pygat_tpu.ops import segment as _seg
@@ -206,7 +207,7 @@ def fit_transductive(
         if partition == "ring":
             data, apply_fn = _ring_setup(cfg, data, mesh)
         data, state = _enter_mesh(data, state, mesh)
-    plans = maybe_plan_corner(data.graph) if mesh is None else None
+    plans = maybe_plan_large(data.graph) if mesh is None else None
     train_step, eval_step = make_transductive_steps(
         cfg, tx, apply_fn=apply_fn, plans=plans,
         # the ring path keeps the stream kernel under distribution
@@ -1122,7 +1123,7 @@ def fit_transductive_fast(
             data, apply_fn = _ring_setup(cfg, data, mesh)
         data, state = _enter_mesh(data, state, mesh)
         params = state.params
-    plans = maybe_plan_corner(data.graph) if mesh is None else None
+    plans = maybe_plan_large(data.graph) if mesh is None else None
 
     # the ring path keeps the stream kernel under distribution
     seg_impl = None if apply_fn else _mesh_segment_impl(mesh)
