@@ -184,8 +184,73 @@ class PPIData(NamedTuple):
     synthetic_parts: tuple[str, ...]
 
 
+PPI_URL = "https://data.dgl.ai/dataset/ppi.zip"  # reference load_data_ppi.py:27
+
+
+def ensure_ppi_download(dest_root: str, *, url: str = PPI_URL,
+                        sha256: str | None = None,
+                        _fetch=None) -> bool:
+    """First-use fetch of the preprocessed PPI dataset, mirroring the
+    reference's lazy download (load_data_ppi.py:92-106: fetch ppi.zip,
+    unzip into ``data/ppi/``, remove the archive).
+
+    Gated by ``PYGAT_ALLOW_DOWNLOAD=1`` (this framework never touches the
+    network silently); ``sha256`` (or env ``PYGAT_PPI_SHA256``) pins the
+    archive digest when provided — mismatch aborts without extracting.
+    Returns True when the directory is ready (already present or fetched),
+    False when downloading is disabled or failed (callers fall back to the
+    synthetic stand-ins, unchanged).
+
+    ``_fetch(url, path)`` is injectable for tests (default: urllib).
+    """
+    import hashlib
+    import zipfile
+
+    ppi_dir = os.path.join(dest_root, "data", "ppi")
+    if os.path.exists(os.path.join(ppi_dir, "train_feats.npy")):
+        return True
+    if os.environ.get("PYGAT_ALLOW_DOWNLOAD") != "1":
+        return False
+    sha256 = sha256 or os.environ.get("PYGAT_PPI_SHA256") or None
+    os.makedirs(ppi_dir, exist_ok=True)
+    zip_tmp = os.path.join(ppi_dir, "ppi.zip")
+    try:
+        if _fetch is None:
+            import urllib.request
+
+            def _fetch(u, p):
+                with urllib.request.urlopen(u, timeout=120) as r, \
+                        open(p, "wb") as f:
+                    while chunk := r.read(1 << 20):
+                        f.write(chunk)
+        _fetch(url, zip_tmp)
+        if sha256 is not None:
+            h = hashlib.sha256()
+            with open(zip_tmp, "rb") as f:
+                while chunk := f.read(1 << 20):
+                    h.update(chunk)
+            if h.hexdigest() != sha256:
+                raise IOError(
+                    f"ppi.zip sha256 {h.hexdigest()} != expected {sha256}")
+        with zipfile.ZipFile(zip_tmp) as zf:
+            zf.extractall(path=ppi_dir)
+        return True
+    except Exception as exc:
+        print(f"[pygat_tpu.data] ppi download failed ({exc}); "
+              "falling back to local/synthetic data", file=sys.stderr)
+        return False
+    finally:
+        if os.path.exists(zip_tmp):
+            os.remove(zip_tmp)
+
+
 def load_ppi(data_root: str | None = None) -> PPIData:
     roots = _search_roots(data_root)
+    # reference semantics: fetch on first use when no root has the files
+    # (env-gated; a failed/disabled fetch falls through to synthetic)
+    if _find("data/ppi/train_feats.npy", roots) is None:
+        dest = data_root or os.environ.get("PYGAT_DATA") or os.getcwd()
+        ensure_ppi_download(dest)
     out = {}
     synth: list[str] = []
     for split in SPLITS:

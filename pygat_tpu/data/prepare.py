@@ -74,13 +74,94 @@ def export_cites_adjacency(cites_path: str, out_npz: str) -> dict:
     return {"nodes": n, "edges": int(len(e0)), "out": out_npz}
 
 
+def export_dgl(dataset: str, out_dir: str, *, _dgl=None, _torch=None) -> dict:
+    """Regenerate the ``{name}_dgl/`` tensors from DGL — the reference's
+    get_pubmed.ipynb / get_citeseer.ipynb cells 1-2 (AddSelfLoop transform,
+    feat/label tensors, train/val/test index vectors from the boolean
+    masks, COO adjacency of ones saved as npz).
+
+    Requires ``dgl`` + ``torch`` (and network access on first DGL use) —
+    neither ships in this container, so the import is guarded and the
+    error says exactly what to install. ``_dgl``/``_torch`` are injectable
+    for tests. Output filenames match what ``data/citation.py`` (and the
+    reference ``utils.load_data``) consume.
+    """
+    if _dgl is None:
+        try:
+            import dgl as _dgl  # noqa: F811
+        except ImportError as exc:
+            raise RuntimeError(
+                "export_dgl needs the 'dgl' package (pip install dgl); "
+                "this environment does not ship it — the loaders fall "
+                "back to synthetic stand-ins without it") from exc
+    if _torch is None:
+        import torch as _torch  # noqa: F811
+
+    datasets = {
+        "citeseer": "CiteseerGraphDataset",
+        "pubmed": "PubmedGraphDataset",
+        "cora": "CoraGraphDataset",
+    }
+    if dataset not in datasets:
+        raise ValueError(f"no DGL export for dataset {dataset!r}")
+    data = getattr(_dgl.data, datasets[dataset])(
+        transform=_dgl.AddSelfLoop())
+    g = data[0]
+    features = g.ndata["feat"]
+    labels = g.ndata["label"]
+    idx = {
+        "idx_train": _torch.nonzero(g.ndata["train_mask"],
+                                    as_tuple=False).squeeze(),
+        "idx_val": _torch.nonzero(g.ndata["val_mask"],
+                                  as_tuple=False).squeeze(),
+        "idx_test": _torch.nonzero(g.ndata["test_mask"],
+                                   as_tuple=False).squeeze(),
+    }
+    src, dst = g.edges()
+    num_nodes = int(g.num_nodes())
+    adj = sp.coo_matrix(
+        (np.ones(int(src.shape[0]), np.float32),
+         (np.asarray(src), np.asarray(dst))),
+        shape=(num_nodes, num_nodes), dtype=np.float32)
+
+    os.makedirs(out_dir, exist_ok=True)
+    _torch.save(features, os.path.join(out_dir, "features.pt"))
+    _torch.save(labels, os.path.join(out_dir, "labels.pt"))
+    for name, t in idx.items():
+        _torch.save(t, os.path.join(out_dir, f"{name}.pt"))
+    sp.save_npz(os.path.join(out_dir, "adj_sparse.npz"), adj.tocoo())
+    return {"dataset": dataset, "nodes": num_nodes,
+            "edges": int(src.shape[0]), "out": out_dir}
+
+
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(description="pygat_tpu offline dataset prep")
     p.add_argument("--check", action="store_true", help="report artifact status")
     p.add_argument("--dataset", choices=["cora", "citeseer", "pubmed", "ppi"])
     p.add_argument("--out", type=str, default=None)
     p.add_argument("--data-root", type=str, default=None)
+    p.add_argument("--export-dgl", action="store_true",
+                   help="regenerate {name}_dgl tensors via DGL "
+                        "(needs dgl installed; reference get_*.ipynb)")
+    p.add_argument("--download-ppi", action="store_true",
+                   help="fetch data.dgl.ai/dataset/ppi.zip into --out "
+                        "(needs PYGAT_ALLOW_DOWNLOAD=1)")
     args = p.parse_args(argv)
+
+    if args.export_dgl:
+        if not args.dataset or args.dataset == "ppi":
+            p.error("--export-dgl needs --dataset cora|citeseer|pubmed")
+        out = args.out or f"{args.dataset}_dgl"
+        info = export_dgl(args.dataset, out)
+        print(json.dumps(info))
+        return 0
+    if args.download_ppi:
+        from pygat_tpu.data.ppi import ensure_ppi_download
+
+        dest = args.out or args.data_root or os.getcwd()
+        ok = ensure_ppi_download(dest)
+        print(json.dumps({"downloaded": ok, "dest": dest}))
+        return 0 if ok else 1
 
     if args.check or not args.dataset:
         report = check(args.data_root)

@@ -20,6 +20,7 @@ program:
 
 from __future__ import annotations
 
+import weakref
 from typing import NamedTuple
 
 import jax
@@ -27,6 +28,27 @@ import jax.numpy as jnp
 import numpy as np
 
 from pygat_tpu.utils.padding import LANE, pad_axis, round_up
+
+# Host copies of the padded edge arrays, keyed by the device senders array
+# (id + weakref.finalize eviction — jax Arrays support weakrefs but not
+# hashing). Plan builders (ops/banded.build_band_plan) need the edge
+# structure back on the host; re-reading it from the device costs minutes
+# over the axon tunnel (~1 MB/s bulk readback, measured round 5), while
+# build_graph had the numpy arrays in hand anyway.
+_HOST_EDGES: dict = {}
+
+
+def _remember_host_edges(arr, value) -> None:
+    key = id(arr)
+    _HOST_EDGES[key] = value
+    weakref.finalize(arr, _HOST_EDGES.pop, key, None)
+
+
+def host_edges(graph: "Graph") -> tuple | None:
+    """(senders, receivers, edge_weight, edge_mask) as host numpy arrays if
+    this Graph was built by :func:`build_graph` in this process, else None
+    (callers fall back to one batched ``jax.device_get``)."""
+    return _HOST_EDGES.get(id(graph.senders))
 
 
 class Graph(NamedTuple):
@@ -231,7 +253,7 @@ def build_graph(
     col_ptr = np.zeros((n_pad + 1,), dtype=np.int32)
     np.cumsum(col_counts, out=col_ptr[1:])
 
-    return Graph(
+    g = Graph(
         senders=jnp.asarray(senders_p),
         receivers=jnp.asarray(receivers_p),
         edge_weight=jnp.asarray(weight_p),
@@ -244,6 +266,14 @@ def build_graph(
         col_ptr=jnp.asarray(col_ptr),
         **stream_fields,
     )
+    try:
+        _remember_host_edges(g.senders, (np.asarray(senders_p, np.int64),
+                                         np.asarray(receivers_p, np.int64),
+                                         np.asarray(weight_p, np.float32),
+                                         np.asarray(edge_mask, bool)))
+    except TypeError:  # non-weakref-able array type (e.g. under tracing)
+        pass
+    return g
 
 
 def _csc_ptr(senders_p: np.ndarray, n_pad: int) -> np.ndarray:

@@ -46,8 +46,8 @@ representation cannot exist at all.
 
 from __future__ import annotations
 
+from dataclasses import dataclass as _dataclass
 from functools import lru_cache as _lru_cache
-from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
@@ -58,12 +58,35 @@ from jax.experimental.pallas import tpu as pltpu
 from pygat_tpu.ops.stream import DEAD, EC, MXU_PREC, TILE
 
 
-class BandPlan(NamedTuple):
+class _HostArr:
+    """Identity-hashed wrapper so a host numpy array can ride in pytree
+    aux_data (jit cache keys need hashable aux; plans are built once per
+    graph, so identity semantics are exactly right)."""
+
+    __slots__ = ("a",)
+
+    def __init__(self, a):
+        self.a = a
+
+    def __hash__(self):
+        return id(self.a)
+
+    def __eq__(self, other):
+        return isinstance(other, _HostArr) and other.a is self.a
+
+
+@jax.tree_util.register_pytree_node_class
+@_dataclass(frozen=True)
+class BandPlan:
     """Banded edge order + per-chunk window bases (host-built, static).
 
     The banded order is receiver-TILE-major, sender-sorted within each
-    tile; every EC-chunk writes one 128-row output tile (``r_chunk_b``)
+    tile; every EC-chunk writes one 128-row output tile (``r_chunk``)
     and reads sender rows only from tiles ``band[c] .. band[c]+w-1``.
+
+    Registered as a pytree whose STATIC fields (``w``, ``fill``, ``perm``)
+    are aux_data: a BandPlan can be passed straight through jit/scan
+    without its window width becoming a tracer.
     """
 
     w: int  # window width in 128-row tiles (static)
@@ -82,6 +105,18 @@ class BandPlan(NamedTuple):
     fill: float  # real edges / (C * EC) — chunk-packing efficiency
     perm: np.ndarray  # [E_b] int64 HOST array: original edge index (-1 dead)
 
+    _ARRAYS = ("band", "s_loc", "r_local", "r_chunk", "senders",
+               "receivers", "edge_weight", "c_slot", "c_local", "c_chunk")
+
+    def tree_flatten(self):
+        return (tuple(getattr(self, f) for f in self._ARRAYS),
+                (self.w, self.fill, _HostArr(self.perm)))
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        w, fill, perm = aux
+        return cls(w, *children, fill=fill, perm=perm.a)
+
     @property
     def num_slots(self) -> int:
         return self.s_loc.shape[0]
@@ -94,12 +129,19 @@ class BandPlan(NamedTuple):
 def build_band_plan(graph, w: int = 4) -> BandPlan:
     """Host-side plan: re-sort each receiver tile's edges by sender and cut
     window-bounded EC-chunks. ``w`` is the VMEM window in 128-row tiles."""
+    from pygat_tpu.graph import host_edges
     from pygat_tpu.ops.stream import build_stream_layout
 
-    senders = np.asarray(graph.senders, dtype=np.int64)
-    receivers = np.asarray(graph.receivers, dtype=np.int64)
-    weights = np.asarray(graph.edge_weight, dtype=np.float32)
-    mask = np.asarray(graph.edge_mask)
+    host = host_edges(graph)
+    if host is None:
+        # one BATCHED readback (the axon tunnel moves bulk data slowly;
+        # per-array np.asarray costs a round trip each)
+        host = jax.device_get((graph.senders, graph.receivers,
+                               graph.edge_weight, graph.edge_mask))
+    senders = np.asarray(host[0], dtype=np.int64)
+    receivers = np.asarray(host[1], dtype=np.int64)
+    weights = np.asarray(host[2], dtype=np.float32)
+    mask = np.asarray(host[3])
     n_pad = graph.num_nodes_padded
     if n_pad % TILE:
         raise ValueError(f"n_pad={n_pad} must be 128-aligned")
@@ -340,21 +382,17 @@ def _v1_banded_op(w: int, alpha: float, precision: str, interpret: bool):
         n_pad, hf = wh.shape
         h, f = a_src.shape
         e = s_loc.shape[0]
+        c = e // EC
         wdt = _win_dtype(precision)
-        gathered = _banded_take_impl(wh, band, s_loc, w, exact=exact,
-                                     interpret=interpret).astype(wdt)
         fdb = jnp.concatenate([f_dst, bound], axis=1)  # [N, 2H]
         abd = _block_diag_a(a_src.astype(wdt))
         exp_bd = _expand_bd(h, f)
-        local8 = r_local.reshape(e // EC // 8, 8, EC)
-        return _grid_call(
-            _make_v1_kernel(alpha, h, hf, exact, interpret),
-            r_chunk,
-            [_window_spec(hf), _window_spec(h)],
-            [gathered.reshape(e // EC, EC, hf), keepq.reshape(e // EC, EC, h)],
-            [_tile_spec(2 * h)], [fdb],
-            [_const_spec(hf, h), _const_spec(h, hf)], [abd, exp_bd],
-            local8, n_pad, hf, h, interpret,
+        return _banded_grid_call(
+            _make_v1_banded_kernel(alpha, h, hf, w, exact, interpret),
+            band, r_chunk,
+            s_loc.reshape(c // 8, 8, EC), r_local.reshape(c // 8, 8, EC),
+            keepq.reshape(c, EC, h), wh.astype(wdt), w, fdb,
+            n_pad, hf, h, interpret, [abd, exp_bd],
         )
 
     @jax.custom_vjp
@@ -436,26 +474,19 @@ def _v2_banded_op(w: int, alpha: float, precision: str, interpret: bool):
         n_pad, hf = whi.shape
         h, f = a.shape
         e = s_loc.shape[0]
+        c = e // EC
         wdt = _win_dtype(precision)
-        # ONE banded window for both sender operands (lanes 2*HF)
-        gjgi = _banded_take_impl(jnp.concatenate([whj, whi], axis=1),
-                                 band, s_loc, w, exact=exact,
-                                 interpret=interpret)
-        gj = gjgi[:, :hf].astype(wdt)
-        gi = gjgi[:, hf:].astype(wdt)
+        # ONE banded window table for both sender operands (lanes 2*HF)
+        wjwi = jnp.concatenate([whj, whi], axis=1).astype(wdt)
         wiub = jnp.concatenate([whi, ub], axis=1)  # [N, HF + H]
         abd = _block_diag_a(a.astype(wdt))
         exp_bd = _expand_bd(h, f)
-        local8 = r_local.reshape(e // EC // 8, 8, EC)
-        return _grid_call(
-            _make_v2_kernel(alpha, h, hf, exact, interpret),
-            r_chunk,
-            [_window_spec(hf), _window_spec(hf), _window_spec(h)],
-            [gj.reshape(e // EC, EC, hf), gi.reshape(e // EC, EC, hf),
-             keepq.reshape(e // EC, EC, h)],
-            [_tile_spec(hf + h)], [wiub],
-            [_const_spec(hf, h), _const_spec(h, hf)], [abd, exp_bd],
-            local8, n_pad, hf, h, interpret,
+        return _banded_grid_call(
+            _make_v2_banded_kernel(alpha, h, hf, w, exact, interpret),
+            band, r_chunk,
+            s_loc.reshape(c // 8, 8, EC), r_local.reshape(c // 8, 8, EC),
+            keepq.reshape(c, EC, h), wjwi, w, wiub,
+            n_pad, hf, h, interpret, [abd, exp_bd],
         )
 
     @jax.custom_vjp
@@ -627,3 +658,195 @@ def maybe_plan_large(graph):
     from pygat_tpu.ops.large import maybe_plan_corner
 
     return maybe_plan_corner(graph)
+
+
+# ---------------------------------------------------------------------------
+# Fully-fused banded kernels: the window SELECT moves inside the attention
+# kernel — one grid pass per layer direction, no [E, HF] window round-trip
+# through HBM and half the per-step pipeline overhead of the two-pass
+# (banded_take -> fused) composition. Measured r5 at N=524k/deg16: the
+# two-pass form ran 54 ms vs take's 145; this form is the production path.
+# ---------------------------------------------------------------------------
+
+
+def _make_v1_banded_kernel(alpha: float, h: int, hf: int, w: int,
+                           two_limb: bool, interpret: bool):
+    from pygat_tpu.ops.fused_stream import _rounder, _split_hi
+
+    mm = _rounder(two_limb, interpret)
+    hp = jax.lax.Precision.HIGHEST if two_limb else MXU_PREC
+
+    def kernel(*refs):
+        (band_ref, ct_ref, sloc_ref, local_ref, keep_ref) = refs[:5]
+        tabs = refs[5:5 + w]
+        fdb_ref, abd_ref, exp_ref, out_ref, den_ref = refs[5 + w:]
+        i = pl.program_id(0)
+        tile = ct_ref[i]
+        first = jnp.logical_or(i == 0, ct_ref[jnp.maximum(i - 1, 0)] != tile)
+
+        @pl.when(first)
+        def _():
+            out_ref[:] = jnp.zeros_like(out_ref)
+            den_ref[:] = jnp.zeros_like(den_ref)
+
+        vr = _rounder(False, interpret)
+        loc = local_ref[0, i % 8, :]  # [EC]; 128 = dead
+        sloc = sloc_ref[0, i % 8, :]  # [EC]; w*128 = dead
+        rows = jax.lax.broadcasted_iota(jnp.int32, (TILE, EC), 0)
+        ohf = (rows == loc[None, :]).astype(jnp.float32)
+        oh = vr(ohf)
+        lanes = jax.lax.broadcasted_iota(jnp.int32, (EC, TILE), 1)
+        ohT = (lanes == loc[:, None]).astype(jnp.float32)
+
+        # in-kernel banded window select (replaces the g_ref window input):
+        # dead slots (sloc == w*128) select nothing -> zero rows
+        win = jnp.concatenate([t[...] for t in tabs], axis=0)  # [w*128, HF]
+        lanes_s = jax.lax.broadcasted_iota(jnp.int32, (EC, w * TILE), 1)
+        ohs = (lanes_s == sloc[:, None]).astype(jnp.float32)
+        g = jnp.dot(mm(ohs) if two_limb else ohs.astype(jnp.bfloat16),
+                    win, preferred_element_type=jnp.float32,
+                    precision=hp)  # [EC, HF] f32 (exact select of win vals)
+
+        l_src = jnp.dot(mm(g), mm(abd_ref[...]),
+                        preferred_element_type=jnp.float32,
+                        precision=hp)  # [EC, H]
+        fde = jnp.dot(ohT, fdb_ref[...],
+                      preferred_element_type=jnp.float32,
+                      precision=hp)  # [EC, 2H]
+        raw = fde[:, :h] + l_src
+        logits = jnp.where(raw >= 0, raw, alpha * raw)
+        live = loc[:, None] < TILE
+        num = jnp.where(live, jnp.exp(logits - fde[:, h:]), 0.0)  # [EC, H]
+        qnum = num * keep_ref[0]
+        qnum_hf = jnp.dot(qnum, exp_ref[...],
+                          preferred_element_type=jnp.float32,
+                          precision=hp)  # [EC, HF]
+        msgs = g * qnum_hf
+        if two_limb:
+            hi = _split_hi(msgs)
+            acc = jnp.dot(oh, vr(hi), preferred_element_type=jnp.float32,
+                          precision=MXU_PREC)
+            acc = acc + jnp.dot(oh, vr(msgs - hi),
+                                preferred_element_type=jnp.float32,
+                                precision=MXU_PREC)
+        else:
+            acc = jnp.dot(oh, vr(msgs), preferred_element_type=jnp.float32,
+                          precision=MXU_PREC)
+        out_ref[:] += acc
+        den_ref[:] += jnp.dot(ohf, num, preferred_element_type=jnp.float32,
+                              precision=hp)
+
+    return kernel
+
+
+def _make_v2_banded_kernel(alpha: float, h: int, hf: int, w: int,
+                           two_limb: bool, interpret: bool):
+    from pygat_tpu.ops.fused_stream import _rounder, _split_hi
+
+    mm = _rounder(two_limb, interpret)
+    hp = jax.lax.Precision.HIGHEST if two_limb else MXU_PREC
+
+    def kernel(*refs):
+        (band_ref, ct_ref, sloc_ref, local_ref, keep_ref) = refs[:5]
+        tabs = refs[5:5 + w]  # blocks of the [N, 2HF] (whj | whi) table
+        wiub_ref, abd_ref, exp_ref, out_ref, den_ref = refs[5 + w:]
+        i = pl.program_id(0)
+        tile = ct_ref[i]
+        first = jnp.logical_or(i == 0, ct_ref[jnp.maximum(i - 1, 0)] != tile)
+
+        @pl.when(first)
+        def _():
+            out_ref[:] = jnp.zeros_like(out_ref)
+            den_ref[:] = jnp.zeros_like(den_ref)
+
+        vr = _rounder(False, interpret)
+        loc = local_ref[0, i % 8, :]
+        sloc = sloc_ref[0, i % 8, :]
+        rows = jax.lax.broadcasted_iota(jnp.int32, (TILE, EC), 0)
+        ohf = (rows == loc[None, :]).astype(jnp.float32)
+        oh = vr(ohf)
+        lanes = jax.lax.broadcasted_iota(jnp.int32, (EC, TILE), 1)
+        ohT = (lanes == loc[:, None]).astype(jnp.float32)
+
+        win = jnp.concatenate([t[...] for t in tabs], axis=0)  # [w*128, 2HF]
+        lanes_s = jax.lax.broadcasted_iota(jnp.int32, (EC, w * TILE), 1)
+        ohs = (lanes_s == sloc[:, None]).astype(jnp.float32)
+        g2 = jnp.dot(mm(ohs) if two_limb else ohs.astype(jnp.bfloat16),
+                     win, preferred_element_type=jnp.float32,
+                     precision=hp)  # [EC, 2HF]
+        gj = g2[:, :hf]
+        gi = g2[:, hf:]
+
+        wiub_e = jnp.dot(ohT, wiub_ref[...],
+                         preferred_element_type=jnp.float32,
+                         precision=hp)  # [EC, HF+H]
+        pre_raw = wiub_e[:, :hf] + gj
+        pre = jnp.where(pre_raw >= 0, pre_raw, alpha * pre_raw)
+        logits = jnp.dot(mm(pre), mm(abd_ref[...]),
+                         preferred_element_type=jnp.float32,
+                         precision=hp)  # [EC, H]
+        live = loc[:, None] < TILE
+        num = jnp.where(live, jnp.exp(logits - wiub_e[:, hf:]), 0.0)
+        qnum = num * keep_ref[0]
+        qnum_hf = jnp.dot(qnum, exp_ref[...],
+                          preferred_element_type=jnp.float32,
+                          precision=hp)
+        msgs = gi * qnum_hf
+        if two_limb:
+            hi = _split_hi(msgs)
+            acc = jnp.dot(oh, vr(hi), preferred_element_type=jnp.float32,
+                          precision=MXU_PREC)
+            acc = acc + jnp.dot(oh, vr(msgs - hi),
+                                preferred_element_type=jnp.float32,
+                                precision=MXU_PREC)
+        else:
+            acc = jnp.dot(oh, vr(msgs), preferred_element_type=jnp.float32,
+                          precision=MXU_PREC)
+        out_ref[:] += acc
+        den_ref[:] += jnp.dot(ohf, num, preferred_element_type=jnp.float32,
+                              precision=hp)
+
+    return kernel
+
+
+def _banded_grid_call(kernel, band, r_chunk, sloc8, local8, keepw, table,
+                      w, tile_in, n_pad, out_lanes, h, interpret: bool,
+                      consts):
+    """pallas_call plumbing for the fused banded kernels: TWO prefetch
+    scalars (band drives the w table-block index maps, r_chunk the
+    fdb/out/den blocks), (8, EC)-packed sloc/local, per-chunk keep window,
+    w scalar-indexed table blocks, one r_chunk-indexed tile input."""
+    c = band.shape[0]
+    l_tab = table.shape[1]
+
+    def _tab_spec(j):
+        return pl.BlockSpec((TILE, l_tab),
+                            lambda i, b, ct, _j=j: (b[i] + _j, 0))
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(c,),
+        in_specs=[
+            pl.BlockSpec((1, 8, EC), lambda i, b, ct: (i // 8, 0, 0)),
+            pl.BlockSpec((1, 8, EC), lambda i, b, ct: (i // 8, 0, 0)),
+            pl.BlockSpec((1, EC, keepw.shape[2]),
+                         lambda i, b, ct: (i, 0, 0)),
+        ]
+        + [_tab_spec(j) for j in range(w)]
+        + [pl.BlockSpec((TILE, tile_in.shape[1]),
+                        lambda i, b, ct: (ct[i], 0))]
+        + [pl.BlockSpec(cc.shape, lambda i, b, ct: (0, 0)) for cc in consts],
+        out_specs=[
+            pl.BlockSpec((TILE, out_lanes), lambda i, b, ct: (ct[i], 0)),
+            pl.BlockSpec((TILE, h), lambda i, b, ct: (ct[i], 0)),
+        ],
+    )
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((n_pad, out_lanes), jnp.float32),
+            jax.ShapeDtypeStruct((n_pad, h), jnp.float32),
+        ],
+        interpret=interpret,
+    )(band, r_chunk, sloc8, local8, keepw, *([table] * w), tile_in, *consts)

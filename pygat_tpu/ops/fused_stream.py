@@ -590,6 +590,7 @@ def _v2p_bwd(alpha, precision, interpret, res, cts):
      r_local, r_chunk, c_slot, c_local, c_chunk) = res
     g_out, g_den = cts
     n_pad, hf = wi_local.shape
+    n_buf = wi_buf.shape[0]  # halo buffers may be smaller than the shard
     h, f = a.shape
     prec = "high" if precision != "fastest" else "fastest"
 
@@ -620,7 +621,7 @@ def _v2p_bwd(alpha, precision, interpret, res, cts):
     dmsg_s = dmsg * (qnum @ exp_bd)
     both = jnp.concatenate([dpre, dmsg_s], axis=1)
     red = stream_sender_segment_sum(both, senders, c_slot, c_local,
-                                    c_chunk, None, n_pad, prec, interpret)
+                                    c_chunk, None, n_buf, prec, interpret)
     dwj_buf = red[:, :hf]
     dwi_buf = red[:, hf:]
     da = jnp.sum(pre * (dlogits @ exp_bd), axis=0).reshape(h, f)
@@ -629,3 +630,103 @@ def _v2p_bwd(alpha, precision, interpret, res, cts):
 
 
 fused_v2_attention_parts.defvjp(_v2p_fwd, _v2p_bwd)
+
+
+# ---------------------------------------------------------------------------
+# v1, split operands (halo ring path): receiver-side operands (f_dst,
+# bound) live on the LOCAL node shard while the sender table is a separate
+# (possibly smaller) halo buffer — the output row count comes from the
+# receiver side, not the table. Kernel unchanged (_make_v1_kernel).
+# Reference math: layers.py:141-160 generalized to split shards.
+# ---------------------------------------------------------------------------
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(12, 13, 14))
+def fused_v1_attention_parts(f_dst, bound, w_buf, a_src, keepq,
+                             senders, receivers, r_local, r_chunk,
+                             c_slot, c_local, c_chunk,
+                             alpha: float, precision: str, interpret: bool):
+    """(out [n_local, HF], den [n_local, H]) for one ring hop: ``f_dst``/
+    ``bound`` live on the receiver shard [n_local, H]; ``w_buf`` is the
+    (rotated) sender table [n_buf, HF] — ``senders`` index w_buf rows,
+    ``receivers``/stream layouts are receiver-shard-local. The sender-side
+    CSC view (c_*) must be built over n_buf rows."""
+    n_local = f_dst.shape[0]
+    hf = w_buf.shape[1]
+    h, f = a_src.shape
+    e = senders.shape[0]
+    two_limb = precision != "fastest"
+    wdt = _win_dtype(precision)
+
+    gathered = jnp.take(w_buf, senders, axis=0).astype(wdt)  # [E, HF]
+    fdb = jnp.concatenate([f_dst, bound], axis=1)  # [n_local, 2H]
+    abd = _block_diag_a(a_src.astype(wdt))
+    exp_bd = _expand_bd(h, f)
+    local8 = r_local.reshape(e // EC // 8, 8, EC)
+
+    out, den = _grid_call(
+        _make_v1_kernel(alpha, h, hf, two_limb, interpret),
+        r_chunk,
+        [_window_spec(hf), _window_spec(h)],
+        [gathered.reshape(e // EC, EC, hf), keepq.reshape(e // EC, EC, h)],
+        [_tile_spec(2 * h)], [fdb],
+        [_const_spec(hf, h), _const_spec(h, hf)], [abd, exp_bd],
+        local8, n_local, hf, h, interpret,
+    )
+    return out, den
+
+
+def _v1p_fwd(f_dst, bound, w_buf, a_src, keepq, senders, receivers,
+             r_local, r_chunk, c_slot, c_local, c_chunk, alpha, precision,
+             interpret):
+    out = fused_v1_attention_parts(
+        f_dst, bound, w_buf, a_src, keepq, senders, receivers, r_local,
+        r_chunk, c_slot, c_local, c_chunk, alpha, precision, interpret)
+    res = (f_dst, bound, w_buf, a_src, keepq, senders, receivers, r_local,
+           r_chunk, c_slot, c_local, c_chunk)
+    return out, res
+
+
+def _v1p_bwd(alpha, precision, interpret, res, cts):
+    from pygat_tpu.ops.stream import (
+        stream_segment_sum,
+        stream_sender_segment_sum,
+    )
+
+    (f_dst, bound, w_buf, a_src, keepq, senders, receivers, r_local,
+     r_chunk, c_slot, c_local, c_chunk) = res
+    g_out, g_den = cts
+    n_local = f_dst.shape[0]
+    n_buf, hf = w_buf.shape
+    h, f = a_src.shape
+    prec = "high" if precision != "fastest" else "fastest"
+
+    g_w = jnp.take(w_buf, senders, axis=0)  # [E, HF]
+    abd = _block_diag_a(a_src)
+    exp_bd = _expand_bd(h, f)
+    l_src = g_w @ abd  # [E, H]
+    fde = jnp.take(f_dst, receivers, axis=0)
+    raw = fde + l_src
+    live = (r_local < TILE)[:, None]
+    num = jnp.where(live, jnp.exp(_leaky(raw, alpha)
+                                  - jnp.take(bound, receivers, axis=0)), 0.0)
+    qnum = num * keepq
+
+    dmsg = jnp.take(g_out, receivers, axis=0)  # [E, HF]
+    dden = jnp.take(g_den, receivers, axis=0)  # [E, H]
+    dqnum = (dmsg * g_w) @ _expand_bd(h, f).T
+    dnum = dqnum * keepq + dden
+    dleaky = jnp.where(raw >= 0, 1.0, alpha)
+    draw = dnum * num * dleaky  # [E, H]
+
+    df_dst = stream_segment_sum(draw, receivers, r_local, r_chunk, n_local,
+                                prec, interpret)
+    dgathered = dmsg * (qnum @ exp_bd) + draw @ abd.T  # [E, HF]
+    dw_buf = stream_sender_segment_sum(dgathered, senders, c_slot, c_local,
+                                       c_chunk, None, n_buf, prec, interpret)
+    da = jnp.sum(g_w * (draw @ exp_bd), axis=0).reshape(h, f)
+    return (df_dst, None, dw_buf, da, None, None, None, None, None, None,
+            None, None)
+
+
+fused_v1_attention_parts.defvjp(_v1p_fwd, _v1p_bwd)

@@ -81,6 +81,20 @@ class EdgePartition(NamedTuple):
     s_slot: jax.Array | None = None  # [D, D, E_s2] int32 block pos per slot
     s_local: jax.Array | None = None  # [D, D, E_s2] int32
     s_chunk: jax.Array | None = None  # [D, D, E_s2 / 256] int32
+    # --- halo compression (SURVEY §2.11 item 2: "remote neighbor features
+    # fetched as a halo exchange"). halo_idx[s, d] lists the LOCAL rows of
+    # source shard s that destination shard d's edges reference (sorted
+    # unique, padded with n_local-1 to the global Hmax = h_rows); h_send
+    # re-expresses send_local in halo positions, and h_slot/h_local/
+    # h_chunk are the per-block sender-sorted stream views over h_rows
+    # rows (the backward reduction of a halo buffer). None when d == 1 or
+    # the partition is not stream-aligned.
+    halo_idx: jax.Array | None = None  # [D(src), D(dst), Hmax] int32
+    h_send: jax.Array | None = None  # [D(dst), D(src), E_blk] int32
+    h_slot: jax.Array | None = None  # [D, D, E_s2h] int32
+    h_local: jax.Array | None = None  # [D, D, E_s2h] int32
+    h_chunk: jax.Array | None = None  # [D, D, E_s2h / 256] int32
+    h_rows: int = 0  # Hmax (128-aligned halo buffer rows)
 
     @property
     def block_edges(self) -> int:
@@ -89,6 +103,10 @@ class EdgePartition(NamedTuple):
     @property
     def has_stream(self) -> bool:
         return self.local is not None
+
+    @property
+    def has_halo(self) -> bool:
+        return self.halo_idx is not None
 
 
 def partition_edges(graph: Graph, n_shards: int) -> EdgePartition:
@@ -184,6 +202,76 @@ def partition_edges(graph: Graph, n_shards: int) -> EdgePartition:
                 s_loc[di, si] = lay2.local
                 s_chk[di, si] = lay2.chunk_tile
 
+        # --- halo compression metadata (off-diagonal pairs): the unique
+        # sender rows each (dst, src) block references, padded to a global
+        # 128-aligned Hmax, plus each block's sender ids and sender-sorted
+        # stream view re-expressed in halo-local positions.
+        halo_fields: dict = {}
+        if d > 1:
+            uniq: dict = {}
+            hmax = 1
+            for di in range(d):
+                for si in range(d):
+                    if di == si:
+                        continue
+                    b = starts[di * d + si]
+                    c = int(counts[di, si])
+                    u = (np.unique(sl_all[b:b + c]) if c
+                         else np.zeros(0, np.int64))
+                    uniq[(di, si)] = u
+                    hmax = max(hmax, len(u))
+            h_rows = round_up(hmax, 128)
+            h_tiles = h_rows // 128
+            max_chunks = h_tiles
+            for (di, si), u in uniq.items():
+                c = int(counts[di, si])
+                if not c:
+                    continue
+                b = starts[di * d + si]
+                hb = np.searchsorted(u, sl_all[b:b + c])
+                per_tile = np.bincount(hb // 128, minlength=h_tiles)
+                max_chunks = max(
+                    max_chunks,
+                    int(np.maximum(-(-per_tile // EC), 1).sum()))
+            e_s2h = -(-max_chunks * EC // _ALIGN) * _ALIGN
+            halo_idx = np.full((d, d, h_rows), n_local - 1, np.int32)
+            h_send = np.zeros((d, d, e_blk), np.int32)
+            h_slot = np.zeros((d, d, e_s2h), np.int32)
+            h_loc = np.full((d, d, e_s2h), 128, np.int32)
+            h_chk = np.zeros((d, d, e_s2h // EC), np.int32)
+            dead_chk = np.minimum(np.arange(e_s2h // EC, dtype=np.int32),
+                                  h_tiles - 1)
+            for di in range(d):
+                for si in range(d):
+                    if di == si:
+                        continue
+                    u = uniq[(di, si)]
+                    halo_idx[si, di, :len(u)] = u
+                    live_idx = np.flatnonzero(msk[di, si])
+                    if not len(live_idx):
+                        h_chk[di, si] = dead_chk
+                        continue
+                    hb = np.searchsorted(u, send_l[di, si][live_idx])
+                    h_send[di, si][live_idx] = hb.astype(np.int32)
+                    rb = recv_l[di, si][live_idx]
+                    o2 = np.lexsort((rb, hb))
+                    ptr2 = np.zeros(h_rows + 1, np.int64)
+                    np.cumsum(np.bincount(hb, minlength=h_rows),
+                              out=ptr2[1:])
+                    lay2 = build_stream_layout(ptr2, order=live_idx[o2],
+                                               stream_pad=e_s2h)
+                    h_slot[di, si] = np.maximum(lay2.slot, 0).astype(np.int32)
+                    h_loc[di, si] = lay2.local
+                    h_chk[di, si] = lay2.chunk_tile
+            halo_fields = dict(
+                halo_idx=jnp.asarray(halo_idx),
+                h_send=jnp.asarray(h_send),
+                h_slot=jnp.asarray(h_slot),
+                h_local=jnp.asarray(h_loc),
+                h_chunk=jnp.asarray(h_chk),
+                h_rows=h_rows,
+            )
+
         return EdgePartition(
             recv_local=jnp.asarray(recv_l),
             send_local=jnp.asarray(send_l),
@@ -196,6 +284,7 @@ def partition_edges(graph: Graph, n_shards: int) -> EdgePartition:
             s_slot=jnp.asarray(s_slot),
             s_local=jnp.asarray(s_loc),
             s_chunk=jnp.asarray(s_chk),
+            **halo_fields,
         )
 
     # legacy dense-packed blocks (no stream kernels): padding slots fill
@@ -336,6 +425,17 @@ def _dummy_stream_fields(part: EdgePartition):
             part.s_chunk if part.s_chunk is not None else z1)
 
 
+def _halo_fields(part: EdgePartition):
+    """(halo_idx, h_send, h_slot, h_local, h_chunk) with placeholders when
+    the partition carries no halo metadata (never read then)."""
+    d = part.n_shards
+    z = jnp.zeros((d, d, 8), jnp.int32)
+    if not part.has_halo:
+        return z, z, z, z, z
+    return (part.halo_idx, part.h_send, part.h_slot, part.h_local,
+            part.h_chunk)
+
+
 def _leaky(x, alpha):
     return jnp.where(x >= 0, x, alpha * x)
 
@@ -349,6 +449,7 @@ def ring_gat_attention(
     *,
     alpha: float,
     att_keep: jax.Array | None = None,  # [D, D, E_blk, H] keep/(1-p) or None
+    halo: bool = False,  # direct halo exchange instead of full rotation
 ) -> jax.Array:
     """[N_pad, H*F] — identical math to the single-chip sparse v1 attention
     but executed SPMD over the 'data' axis with a ppermute ring.
@@ -375,17 +476,23 @@ def ring_gat_attention(
     f = hf // h
     use_stream = _part_use_stream(part)
     use_fused = _part_use_fused(part)
+    use_halo = bool(halo) and part.has_halo and d > 1
     if att_keep is None:
         att_keep = jnp.ones(tuple(part.edge_mask.shape) + (1,), jnp.float32)
     loc_a, chk_a, ss_a, sl2_a, sc_a = _dummy_stream_fields(part)
+    hidx_a, hs_a, hsl_a, hloc_a, hck_a = _halo_fields(part)
 
-    def body(fd, w, asrc, nm, rl, sl, em, loc, ct, ss, sloc, sck, keep):
+    def body(fd, w, asrc, nm, rl, sl, em, loc, ct, ss, sloc, sck,
+             hidx, hs, hsl, hloc, hck, keep):
         # per device: fd [n_local, H]; w [n_local, HF]; asrc [H, F];
         # nm [1, n_local]; rl/sl/em/loc [1, D, E]; ct [1, D, C];
-        # ss/sloc [1, D, E2]; sck [1, D, C2]; keep [1, D, E, H or 1]
+        # ss/sloc [1, D, E2]; sck [1, D, C2]; hidx [1, D, Hmax] (SRC-
+        # sharded); hs [1, D, E]; hsl/hloc [1, D, E2h]; hck [1, D, C2h];
+        # keep [1, D, E, H or 1]
         me = lax.axis_index(DATA_AXIS)
         rl, sl, em, loc, ct = rl[0], sl[0], em[0], loc[0], ct[0]
         ss, sloc, sck, keep = ss[0], sloc[0], sck[0], keep[0]
+        hidx, hs, hsl, hloc, hck = hidx[0], hs[0], hsl[0], hloc[0], hck[0]
         nm = nm[0]
         n_local = fd.shape[0]
 
@@ -402,35 +509,39 @@ def ring_gat_attention(
         bound = lax.stop_gradient(_leaky(fd + m_src[None, :], alpha))
         fdb = jnp.concatenate([fd, bound], axis=1)  # [n_local, 2H]
 
-        def hop(acc, w_buf, k):
-            # contribution of ring hop ``k`` (sender shard (me - k) % d)
+        def hop(acc, w_buf, k, senders, sview, n_rows):
+            # contribution of ring hop ``k`` (sender shard (me - k) % d):
+            # ``w_buf`` is the sender feature table (full rotated shard or
+            # a halo buffer), ``senders``/``sview`` index ITS rows
             src_shard = (me - k) % d
             rl_k = jnp.take(rl, src_shard, axis=0)
-            sl_k = jnp.take(sl, src_shard, axis=0)
+            sl_k = jnp.take(senders, src_shard, axis=0)
             em_k = jnp.take(em, src_shard, axis=0)
             loc_k = jnp.take(loc, src_shard, axis=0)
             ct_k = jnp.take(ct, src_shard, axis=0)
-            ss_k = jnp.take(ss, src_shard, axis=0)
-            sloc_k = jnp.take(sloc, src_shard, axis=0)
-            sck_k = jnp.take(sck, src_shard, axis=0)
+            ss_k = jnp.take(sview[0], src_shard, axis=0)
+            sloc_k = jnp.take(sview[1], src_shard, axis=0)
+            sck_k = jnp.take(sview[2], src_shard, axis=0)
             keep_k = jnp.take(keep, src_shard, axis=0)  # [E, H or 1]
 
             if use_fused:
                 # per-hop fused attention: the whole per-edge pipeline in
                 # ONE Pallas call on this block (ops/fused_stream.py); the
                 # bound-shifted hops accumulate (agg, den) additively
-                from pygat_tpu.ops.fused_stream import fused_v1_attention
+                from pygat_tpu.ops.fused_stream import (
+                    fused_v1_attention_parts,
+                )
 
                 precision, interpret = _stream_args()
                 keepq = jnp.broadcast_to(keep_k,
                                          (keep_k.shape[0], h))
-                agg, dn = fused_v1_attention(
-                    w_buf, fd, bound, asrc, keepq, sl_k, rl_k, loc_k,
+                agg, dn = fused_v1_attention_parts(
+                    fd, bound, w_buf, asrc, keepq, sl_k, rl_k, loc_k,
                     ct_k, ss_k, sloc_k, sck_k, alpha, precision, interpret,
                 )
                 return acc + jnp.concatenate([agg, dn], axis=1)
             w_g = block_take_senders(w_buf, sl_k, ss_k, sloc_k, sck_k,
-                                     n_local, use_stream)  # [E, HF]
+                                     n_rows, use_stream)  # [E, HF]
             l_src = (w_g.reshape(-1, h, f) * asrc[None]).sum(-1)
             fb_e = block_take_receivers(fdb, rl_k, loc_k, ct_k,
                                         n_local, use_stream)  # [E, 2H]
@@ -447,19 +558,39 @@ def ring_gat_attention(
             return acc + block_recv_reduce(msgs, rl_k, loc_k, ct_k,
                                            n_local, use_stream)
 
-        # hop 0 (local block) outside; hops 1..d-1 under lax.scan with the
-        # rotation first — exactly d-1 ppermutes and TWO traced copies of
-        # the hop program instead of d (VERDICT r3 item 6: the unrolled
-        # schedule's program size grew linearly with the ring length)
+        full_view = (ss, sloc, sck)
         acc = hop(jnp.zeros((n_local, hf + h), jnp.float32), w,
-                  jnp.asarray(0, jnp.int32))
-        if d > 1:
+                  jnp.asarray(0, jnp.int32), sl, full_view, n_local)
+        if use_halo:
+            # DIRECT exchange: hop k ppermutes ONLY the halo rows shard
+            # (me+k) needs from me (shift-by-k perm, so the buffer never
+            # relays through intermediates). Bytes/hop = Hmax/n_local of
+            # the full rotation. Unrolled (each hop's perm is static);
+            # program size is O(D) — the halo path is for large graphs on
+            # modest rings, where the traffic dominates program size. On a
+            # physical ring ICI a shift-by-k costs k link traversals, so
+            # this wins when Hmax <~ 2 * n_local / D; 2D torus ICI cuts
+            # the route length further.
+            h_rows = hidx.shape[1]
+            halo_view = (hsl, hloc, hck)
+            for k in range(1, d):
+                dstv = (me + jnp.asarray(k, jnp.int32)) % d
+                rows = jnp.take(hidx, dstv, axis=0)  # [Hmax] my rows for dst
+                buf = jnp.take(w, rows, axis=0)  # [Hmax, HF]
+                buf = lax.ppermute(buf, DATA_AXIS,
+                                   [(i, (i + k) % d) for i in range(d)])
+                acc = hop(acc, buf, jnp.asarray(k, jnp.int32), hs,
+                          halo_view, h_rows)
+        elif d > 1:
+            # full-shard rotation under lax.scan: d-1 ppermutes, TWO
+            # traced copies of the hop program regardless of D
             perm = [(i, (i + 1) % d) for i in range(d)]
 
             def ring_step(carry, k):
                 acc, w_buf = carry
                 w_buf = lax.ppermute(w_buf, DATA_AXIS, perm)
-                return (hop(acc, w_buf, k), w_buf), None
+                return (hop(acc, w_buf, k, sl, full_view, n_local),
+                        w_buf), None
 
             (acc, _), _ = lax.scan(ring_step, (acc, w),
                                    jnp.arange(1, d, dtype=jnp.int32))
@@ -483,6 +614,11 @@ def ring_gat_attention(
             P(DATA_AXIS, None, None),  # s_slot
             P(DATA_AXIS, None, None),  # s_local
             P(DATA_AXIS, None, None),  # s_chunk
+            P(DATA_AXIS, None, None),  # halo_idx by SOURCE shard
+            P(DATA_AXIS, None, None),  # h_send by dest shard
+            P(DATA_AXIS, None, None),  # h_slot
+            P(DATA_AXIS, None, None),  # h_local
+            P(DATA_AXIS, None, None),  # h_chunk
             P(DATA_AXIS, None, None, None),  # att_keep by dest shard
         ),
         out_specs=P(DATA_AXIS, None),
@@ -490,7 +626,8 @@ def ring_gat_attention(
         # replicated over 'model' by construction (all inputs unvarying
         # there and the ring only communicates over 'data')
     )(f_dst, whf, a_src, part.node_mask, part.recv_local, part.send_local,
-      part.edge_mask, loc_a, chk_a, ss_a, sl2_a, sc_a, att_keep)
+      part.edge_mask, loc_a, chk_a, ss_a, sl2_a, sc_a,
+      hidx_a, hs_a, hsl_a, hloc_a, hck_a, att_keep)
 
 
 def ring_gat_attention_v2(
@@ -502,6 +639,7 @@ def ring_gat_attention_v2(
     *,
     alpha: float,
     att_keep: jax.Array | None = None,  # [D, D, E_blk, H] keep/(1-p) or None
+    halo: bool = False,  # direct halo exchange instead of full rotation
 ) -> jax.Array:
     """GATv2 ring attention: per-edge ``a . leaky(whi[recv] + whj[send])``
     logits (reference layers.py:280-283) with aggregation of ``whi`` rows
@@ -523,15 +661,19 @@ def ring_gat_attention_v2(
     hf = h * f
     use_stream = _part_use_stream(part)
     use_fused = _part_use_fused(part)
+    use_halo = bool(halo) and part.has_halo and d > 1
     if att_keep is None:
         att_keep = jnp.ones(tuple(part.edge_mask.shape) + (1,), jnp.float32)
     loc_a, chk_a, ss_a, sl2_a, sc_a = _dummy_stream_fields(part)
+    hidx_a, hs_a, hsl_a, hloc_a, hck_a = _halo_fields(part)
 
-    def body(wi, wj, av, nm, rl, sl, em, loc, ct, ss, sloc, sck, keep):
+    def body(wi, wj, av, nm, rl, sl, em, loc, ct, ss, sloc, sck,
+             hidx, hs, hsl, hloc, hck, keep):
         # per device: wi/wj [n_local, HF]; av [H, F]; nm [1, n_local]
         me = lax.axis_index(DATA_AXIS)
         rl, sl, em, loc, ct = rl[0], sl[0], em[0], loc[0], ct[0]
         ss, sloc, sck, keep = ss[0], sloc[0], sck[0], keep[0]
+        hidx, hs, hsl, hloc, hck = hidx[0], hs[0], hsl[0], hloc[0], hck[0]
         nm = nm[0]
         n_local = wi.shape[0]
 
@@ -553,17 +695,18 @@ def ring_gat_attention_v2(
         ub = ub + (_leaky(wi3 + mq[None], alpha) * a_neg[None]).sum(-1)
         ub = lax.stop_gradient(ub)  # [n_local, H]
 
-        def hop(acc, wi_buf, wj_buf, k):
-            # contribution of ring hop ``k`` (sender shard (me - k) % d)
+        def hop(acc, wi_buf, wj_buf, k, senders, sview, n_rows):
+            # contribution of ring hop ``k`` (sender shard (me - k) % d);
+            # wi_buf/wj_buf are sender tables (full shards or halo buffers)
             src_shard = (me - k) % d
             rl_k = jnp.take(rl, src_shard, axis=0)
-            sl_k = jnp.take(sl, src_shard, axis=0)
+            sl_k = jnp.take(senders, src_shard, axis=0)
             em_k = jnp.take(em, src_shard, axis=0)
             loc_k = jnp.take(loc, src_shard, axis=0)
             ct_k = jnp.take(ct, src_shard, axis=0)
-            ss_k = jnp.take(ss, src_shard, axis=0)
-            sloc_k = jnp.take(sloc, src_shard, axis=0)
-            sck_k = jnp.take(sck, src_shard, axis=0)
+            ss_k = jnp.take(sview[0], src_shard, axis=0)
+            sloc_k = jnp.take(sview[1], src_shard, axis=0)
+            sck_k = jnp.take(sview[2], src_shard, axis=0)
             keep_k = jnp.take(keep, src_shard, axis=0)
 
             if use_fused:
@@ -581,7 +724,7 @@ def ring_gat_attention_v2(
                 )
                 return acc + jnp.concatenate([agg, dn], axis=1)
             wj_g = block_take_senders(wj_buf, sl_k, ss_k, sloc_k, sck_k,
-                                      n_local, use_stream)  # [E, HF]
+                                      n_rows, use_stream)  # [E, HF]
             wiub_e = block_take_receivers(
                 jnp.concatenate([wi, ub], axis=1), rl_k, loc_k, ct_k,
                 n_local, use_stream)  # [E, HF + H]
@@ -591,7 +734,7 @@ def ring_gat_attention_v2(
                             jnp.exp(logits - wiub_e[:, hf:]), 0.0)
             qnum = num * keep_k
             wi_g = block_take_senders(wi_buf, sl_k, ss_k, sloc_k, sck_k,
-                                      n_local, use_stream)  # [E, HF]
+                                      n_rows, use_stream)  # [E, HF]
             msgs = jnp.concatenate(
                 [(wi_g.reshape(-1, h, f)
                   * qnum[:, :, None]).reshape(-1, hf),
@@ -601,18 +744,33 @@ def ring_gat_attention_v2(
             return acc + block_recv_reduce(msgs, rl_k, loc_k, ct_k,
                                            n_local, use_stream)
 
-        # hop 0 outside; hops 1..d-1 under lax.scan, rotation first — see
-        # ring_gat_attention (d-1 ppermute pairs, two traced hop programs)
+        full_view = (ss, sloc, sck)
         acc = hop(jnp.zeros((n_local, hf + h), jnp.float32), wi, wj,
-                  jnp.asarray(0, jnp.int32))
-        if d > 1:
+                  jnp.asarray(0, jnp.int32), sl, full_view, n_local)
+        if use_halo:
+            # direct halo exchange (see ring_gat_attention): BOTH v2
+            # operands travel as one 2HF-lane halo buffer per hop
+            h_rows = hidx.shape[1]
+            halo_view = (hsl, hloc, hck)
+            wiwj = jnp.concatenate([wi, wj], axis=1)  # [n_local, 2HF]
+            for k in range(1, d):
+                dstv = (me + jnp.asarray(k, jnp.int32)) % d
+                rows = jnp.take(hidx, dstv, axis=0)
+                buf = jnp.take(wiwj, rows, axis=0)  # [Hmax, 2HF]
+                buf = lax.ppermute(buf, DATA_AXIS,
+                                   [(i, (i + k) % d) for i in range(d)])
+                acc = hop(acc, buf[:, :hf], buf[:, hf:],
+                          jnp.asarray(k, jnp.int32), hs, halo_view, h_rows)
+        elif d > 1:
+            # full rotation under lax.scan — see ring_gat_attention
             perm = [(i, (i + 1) % d) for i in range(d)]
 
             def ring_step(carry, k):
                 acc, wi_buf, wj_buf = carry
                 wi_buf = lax.ppermute(wi_buf, DATA_AXIS, perm)
                 wj_buf = lax.ppermute(wj_buf, DATA_AXIS, perm)
-                return (hop(acc, wi_buf, wj_buf, k), wi_buf, wj_buf), None
+                return (hop(acc, wi_buf, wj_buf, k, sl, full_view,
+                            n_local), wi_buf, wj_buf), None
 
             (acc, _, _), _ = lax.scan(ring_step, (acc, wi, wj),
                                       jnp.arange(1, d, dtype=jnp.int32))
@@ -636,9 +794,15 @@ def ring_gat_attention_v2(
             P(DATA_AXIS, None, None),
             P(DATA_AXIS, None, None),
             P(DATA_AXIS, None, None),
+            P(DATA_AXIS, None, None),  # halo_idx by SOURCE shard
+            P(DATA_AXIS, None, None),  # h_send by dest shard
+            P(DATA_AXIS, None, None),  # h_slot
+            P(DATA_AXIS, None, None),  # h_local
+            P(DATA_AXIS, None, None),  # h_chunk
             P(DATA_AXIS, None, None, None),  # att_keep by dest shard
         ),
         out_specs=P(DATA_AXIS, None),
         check_vma=False,  # see ring_gat_attention
     )(whi_f, whj_f, a, part.node_mask, part.recv_local, part.send_local,
-      part.edge_mask, loc_a, chk_a, ss_a, sl2_a, sc_a, att_keep)
+      part.edge_mask, loc_a, chk_a, ss_a, sl2_a, sc_a,
+      hidx_a, hs_a, hsl_a, hloc_a, hck_a, att_keep)

@@ -82,12 +82,22 @@ def ring_apply_gat(
     rng: jax.Array,
     *,
     train: bool,
+    halo: bool | None = None,  # direct halo exchange (None = env default)
 ) -> jax.Array:
     """Forward pass of the stacked model through the ring attention kernels.
 
     Same math as ``apply_gat`` on the sparse layer types (the same exact
     bound-shifted softmax as the single-chip head-batched layers).
+
+    ``halo=True`` swaps the full-shard rotation for the direct halo
+    exchange (ppermute only the sender rows each (dst, src) pair
+    references — parallel/partition.py halo fields); ``None`` reads
+    ``PYGAT_RING_HALO=1``.
     """
+    if halo is None:
+        import os
+
+        halo = os.environ.get("PYGAT_RING_HALO") == "1"
     if not cfg.is_sparse:
         raise ValueError("ring path implements the sparse layer types")
     use_drop = train and cfg.dropout > 0.0
@@ -120,7 +130,7 @@ def ring_apply_gat(
                     if use_drop else None)
             out = ring_gat_attention_v2(
                 whi, whj, layer_params.a, part, mesh, alpha=cfg.alpha,
-                att_keep=keep,
+                att_keep=keep, halo=halo,
             )  # [N, HF]
         else:
             f_in = h.shape[1]
@@ -139,6 +149,7 @@ def ring_apply_gat(
                     if use_drop else None)
             out = ring_gat_attention(
                 f_dst, whf, a_src, part, mesh, alpha=cfg.alpha, att_keep=keep,
+                halo=halo,
             )  # [N, HF]
 
         out3 = out.reshape(n, n_heads, f_out)

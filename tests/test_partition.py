@@ -409,3 +409,110 @@ def test_interleaved_ring_matches_plain_forward():
     np.testing.assert_allclose(np.asarray(got)[new],
                                np.asarray(want)[:n_real],
                                rtol=2e-4, atol=1e-5)
+
+
+# ---------------------------------------------------------------------------
+# Halo compression (round 5): direct per-pair halo exchange vs the full
+# rotation — metadata invariants, forward parity, gradient parity, and the
+# stream-kernel variant.
+# ---------------------------------------------------------------------------
+
+
+def test_halo_metadata_invariants(setup):
+    g, fd, wh, a_src = setup
+    d = 4
+    part = partition_edges(g, d)
+    assert part.has_halo and part.h_rows % 128 == 0
+    hidx = np.asarray(part.halo_idx)
+    hs = np.asarray(part.h_send)
+    sl = np.asarray(part.send_local)
+    em = np.asarray(part.edge_mask)
+    for di in range(d):
+        for si in range(d):
+            if di == si:
+                continue
+            live = em[di, si]
+            # halo positions decode back to the original local sender ids
+            np.testing.assert_array_equal(
+                hidx[si, di][hs[di, si][live]], sl[di, si][live])
+            # halo list covers exactly the block's unique senders
+            u = np.unique(sl[di, si][live])
+            assert set(u.tolist()) <= set(hidx[si, di].tolist())
+
+
+@pytest.mark.parametrize("n_shards", [2, 4, 8])
+def test_ring_halo_matches_single_device(setup, n_shards):
+    g, fd, wh, a_src = setup
+    mesh = make_mesh(n_shards, 1, devices=jax.devices()[:n_shards])
+    part = partition_edges(g, n_shards)
+    fs = jnp.einsum("hnf,hf->hn", wh, a_src)
+    out_ring = ring_gat_attention(fd.T, _to_whf(wh), a_src, part, mesh,
+                                  alpha=0.2, halo=True)
+    out_ref = _xla_forward(fd, fs, wh, g.senders, g.receivers, g.edge_mask,
+                           0.2)
+    np.testing.assert_allclose(np.asarray(_from_out(out_ring)),
+                               np.asarray(out_ref), rtol=1e-4, atol=1e-5)
+
+
+def test_ring_halo_gradients_match(setup):
+    g, fd, wh, a_src = setup
+    mesh = make_mesh(4, 1, devices=jax.devices()[:4])
+    part = partition_edges(g, 4)
+    fdT, whf = fd.T, _to_whf(wh)
+
+    def loss(fdT, whf, a_src, halo):
+        return jnp.sum(jnp.sin(
+            ring_gat_attention(fdT, whf, a_src, part, mesh, alpha=0.2,
+                               halo=halo)))
+
+    g_h = jax.grad(loss, argnums=(0, 1, 2))(fdT, whf, a_src, True)
+    g_r = jax.grad(loss, argnums=(0, 1, 2))(fdT, whf, a_src, False)
+    for a, b in zip(g_h, g_r):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-5)
+
+
+@pytest.mark.parametrize("layer_type", ["GAT_sparse", "GATv2_sparse"])
+@pytest.mark.parametrize("stream", [False, True])
+def test_ring_halo_model_matches_rotation(layer_type, stream):
+    """Full ring_apply_gat with halo == full rotation (fwd + grads), under
+    both the scatter fallback and the per-shard stream/fused kernels."""
+    from jax.flatten_util import ravel_pytree
+
+    from pygat_tpu.models.gat import GATConfig, init_gat
+    from pygat_tpu.parallel.ring_model import ring_apply_gat
+
+    rng = np.random.default_rng(11)
+    n = 700
+    d = 4
+    dense = rng.random((n, n)) < 0.02
+    np.fill_diagonal(dense, True)
+    recv, send = np.nonzero(dense)
+    g = build_graph(send, recv, None, n, n_pad=1024)
+    mesh = make_mesh(d, 1, devices=jax.devices()[:d])
+    part = partition_edges(g, d)
+    cfg = GATConfig(nlayers=2, nheads=(4, 2), nfeats=(24, 8, 5),
+                    dropout=0.0, alpha=0.2, layer_type=layer_type)
+    params = init_gat(jax.random.PRNGKey(0), cfg)
+    x = jnp.asarray(rng.standard_normal((1024, 24)).astype(np.float32))
+    key = jax.random.PRNGKey(3)
+    impl = "stream" if stream else "scatter"
+    prev = seg._STREAM_PRECISION
+    seg._STREAM_PRECISION = "high"
+    try:
+        with seg.use_impl(impl):
+            def loss(p, halo):
+                out = ring_apply_gat(p, cfg, x, part, mesh, key,
+                                     train=False, halo=halo)
+                return jnp.sum(jnp.sin(out)), out
+
+            (l_h, o_h), gr_h = jax.value_and_grad(
+                loss, has_aux=True)(params, True)
+            (l_r, o_r), gr_r = jax.value_and_grad(
+                loss, has_aux=True)(params, False)
+    finally:
+        seg._STREAM_PRECISION = prev
+    np.testing.assert_allclose(np.asarray(o_h), np.asarray(o_r),
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(ravel_pytree(gr_h)[0], ravel_pytree(gr_r)[0],
+                               rtol=1e-3, atol=1e-5)
