@@ -116,12 +116,15 @@ def main(argv=None) -> int:
     )
     if args.epoch_scan:
         if args.mesh:
+            # banked loop + data parallelism in one path (round 5): the
+            # on-device shuffle/collate epochs run as weighted-mean DP
+            # super-steps over the mesh 'data' axis
             from pygat_tpu.parallel.mesh import make_mesh
 
             n_data, n_model = (int(v) for v in args.mesh.split(","))
             mesh = make_mesh(n_data, n_model)
             print(f"mesh: data={n_data} model={n_model}")
-            result = fit_inductive_fast(cfg, data, mesh=mesh, **common)
+            result = fit_inductive_banked(cfg, data, mesh=mesh, **common)
         else:
             # single-device: banked loop — shuffle/collate/epochs all on
             # device, host syncs once per epoch chunk

@@ -771,6 +771,8 @@ def make_banked_epochs(
     n_val_graphs: int,
     n_chunk: int,
     patience: int | None = None,
+    mesh=None,
+    dp: int | None = None,
 ):
     """K inductive epochs per device dispatch, with on-device shuffling
     (``jax.random.permutation`` of the graph ids per epoch — the
@@ -778,6 +780,14 @@ def make_banked_epochs(
     on-device best-params tracking (same policy as
     make_scanned_epochs_with_best, incl. the patience gate: overshoot
     epochs past the host's early stop never update the best model).
+
+    ``mesh``: a ('data', 'model') mesh data-parallelizes the epoch — each
+    optimizer step takes D consecutive shuffled batches, computes each
+    batch's loss on one 'data' slice (weighted mean over live slots, the
+    make_sharded_inductive_epochs semantics: global batch = D
+    graph-batches), and GSPMD inserts the gradient all-reduce. Segment ops
+    pin to the XLA scatter lowering under DP (a Pallas call cannot be
+    partition-propagated across the vmapped axis).
 
     Carry: (state, epoch_i, best_val, best_params, best_epoch).
     Returns per-epoch (loss_train, f1_train, loss_val, f1_val) means."""
@@ -788,6 +798,42 @@ def make_banked_epochs(
     pad_t = nb_t * b - n_train_graphs
     lives_t = (jnp.arange(nb_t * b) < n_train_graphs).reshape(nb_t, b)
     eval_bank, _loss = _banked_eval_fn(cfg, b, n_val_graphs)
+
+    n_data = 1
+    if mesh is not None:
+        from pygat_tpu.parallel.mesh import DATA_AXIS
+
+        n_data = int(mesh.shape[DATA_AXIS])
+    if dp is not None:
+        # explicit slot count — with mesh=None this runs the EXACT same
+        # DP math unsharded (sharding constraints never change results),
+        # which is how tests pin the distributed path against a
+        # single-device reference
+        n_data = int(dp)
+    if n_data > 1:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from pygat_tpu.ops import segment as _seg
+        from pygat_tpu.parallel.mesh import DATA_AXIS
+
+        s_t = -(-nb_t // n_data)
+        batch_of = jnp.arange(s_t * n_data) % nb_t  # repeated pads
+        step_w = ((jnp.arange(s_t * n_data) < nb_t)
+                  .astype(jnp.float32).reshape(s_t, n_data))
+
+        def _shard_d(tree):
+            if mesh is None:
+                return tree
+
+            def put(leaf):
+                spec = P(DATA_AXIS, *([None] * (leaf.ndim - 1)))
+                return jax.lax.with_sharding_constraint(
+                    leaf, NamedSharding(mesh, spec))
+            return jax.tree_util.tree_map(put, tree)
+
+        def _loss_dp(params, x, graph, y, key, train):
+            with _seg.use_impl("scatter"):
+                return _loss(params, x, graph, y, key, train)
 
     @jax.jit
     def run(carry, bank_train, bank_val, max_epochs):
@@ -814,7 +860,39 @@ def make_banked_epochs(
                     (loss, f1),
                 )
 
-            state, (ltr, ftr) = jax.lax.scan(tb, state, (idxs, lives_t))
+            def tb_dp(st, sl):
+                # D batches -> one weighted-mean update (DP semantics)
+                idx, lv, w = sl  # [D, b], [D, b], [D]
+                rng2, key = jax.random.split(st.rng)
+                keys = jax.random.split(key, n_data)
+
+                def super_loss(params):
+                    xs, gs, ys = _shard_d(jax.vmap(
+                        lambda i, l: assemble_banked_batch(bank_train, i, l)
+                    )(idx, lv))
+                    losses, (f1s, _) = jax.vmap(
+                        lambda x, g, y, k: _loss_dp(params, x, g, y, k, True)
+                    )(xs, gs, ys, keys)
+                    wsum = jnp.maximum(w.sum(), 1.0)
+                    return (losses * w).sum() / wsum, (losses, f1s)
+
+                (_, (losses, f1s)), grads = jax.value_and_grad(
+                    super_loss, has_aux=True)(st.params)
+                updates, opt_state = tx.update(grads, st.opt_state, st.params)
+                params = optax.apply_updates(st.params, updates)
+                wsum = jnp.maximum(w.sum(), 1.0)
+                return (
+                    TrainState(st.step + 1, params, opt_state, rng2),
+                    ((losses * w).sum() / wsum, (f1s * w).sum() / wsum),
+                )
+
+            if n_data > 1:
+                idxs3 = idxs[batch_of].reshape(s_t, n_data, b)
+                lives3 = lives_t[batch_of].reshape(s_t, n_data, b)
+                state, (ltr, ftr) = jax.lax.scan(
+                    tb_dp, state, (idxs3, lives3, step_w))
+            else:
+                state, (ltr, ftr) = jax.lax.scan(tb, state, (idxs, lives_t))
             lv_, fv_, *_ = eval_bank(state.params, bank_val)
             loss_val = lv_.mean()
             improved = (loss_val < best_val) & (epoch_i < max_epochs)
@@ -854,13 +932,16 @@ def fit_inductive_banked(
     log_every: int = 10,
     init_params: Any = None,
     resume: bool = False,
+    mesh=None,
 ) -> FitResult:
     """fit_inductive with zero per-epoch host work: the host syncs once per
     ``epoch_chunk`` epochs (early stopping can overshoot by up to
     epoch_chunk-1 epochs of extra compute, never changing the selected
     model — same contract as fit_transductive_fast). Checkpoints at chunk
     boundaries carry the val-loss history + best bookkeeping for exact
-    resume."""
+    resume. ``mesh`` data-parallelizes the banked epochs (see
+    make_banked_epochs): the fastest inductive loop AND distributed, in
+    one path."""
     from pygat_tpu.data.ppi import bank_bounds, build_bank
 
     logger = logger or TrainLogger()
@@ -876,7 +957,8 @@ def fit_inductive_banked(
     bank_te = build_bank(data.test, n_pg, e_pg)
 
     run = make_banked_epochs(cfg, tx, batch_size, len(data.train),
-                             len(data.valid), epoch_chunk, patience=patience)
+                             len(data.valid), epoch_chunk, patience=patience,
+                             mesh=mesh)
     eval_test, _ = _banked_eval_fn(cfg, batch_size, len(data.test))
 
     carry = (state, jnp.asarray(0, jnp.int32), jnp.asarray(jnp.inf),

@@ -209,9 +209,13 @@ def test_compiled_fused_corner_v1(gr):
     np.testing.assert_allclose(np.asarray(d), rd, rtol=1e-3, atol=1e-3)
 
 
+@pytest.mark.slow
 def test_compiled_ring_hop_kernels():
     """The ring's per-shard stream AND fused per-hop kernels compiled under
-    a (1, 1) mesh shard_map — the layout every multi-chip hop runs."""
+    a (1, 1) mesh shard_map — the layout every multi-chip hop runs.
+
+    ~15 min wall (the ring shard_map program is a slow chip compile) —
+    excluded from the fast gate via ``-m "tpu and not slow"``."""
     from pygat_tpu.models.gat import GATConfig, apply_gat, init_gat
     from pygat_tpu.parallel.mesh import make_mesh
     from pygat_tpu.parallel.partition import partition_edges
@@ -219,7 +223,7 @@ def test_compiled_ring_hop_kernels():
 
     assert jax.default_backend() == "tpu"
     g, rng = _clustered_graph(n=1024, deg=6, seed=1)
-    mesh = make_mesh((1, 1))
+    mesh = make_mesh(1, 1)
     part = partition_edges(g, 1)
     cfg = GATConfig(nlayers=2, nheads=(4, 1), nfeats=(32, 16, 7),
                     dropout=0.0, alpha=0.2, layer_type="GAT_sparse")
