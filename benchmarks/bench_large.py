@@ -35,6 +35,14 @@ def main() -> int:
                    help="also time forward+backward")
     p.add_argument("--skip-take", action="store_true",
                    help="skip the serialized-gather baseline (slow at 1M+)")
+    p.add_argument("--band", action="store_true",
+                   help="also time the banded-window paths (fused v1 "
+                        "attention + fused/two-pass SpMM; needs locality — "
+                        "use with --clustered)")
+    p.add_argument("--band-w", type=int, default=4,
+                   help="banded window width in 128-row tiles")
+    p.add_argument("--skip-corner", action="store_true",
+                   help="skip the corner path (measured never-wins on v5e)")
     a = p.parse_args()
 
     import jax
@@ -99,8 +107,10 @@ def main() -> int:
     t_corner = e_pad * hf * 4 * (0.5 + 1 + 2 * k + 1) + n_pad * (hf + a.h) * 4
     t_take = e_pad * hf * 4 * 2 + n_pad * hf * 4 + n_pad * (hf + a.h) * 4
 
-    cases = [("fusedv1-corner", t_corner, run_corner,
-              (wh, f_dst, bound, a_src, keepq, g) + arr_f + arr_i)]
+    cases = []
+    if not a.skip_corner:
+        cases.append(("fusedv1-corner", t_corner, run_corner,
+                      (wh, f_dst, bound, a_src, keepq, g) + arr_f + arr_i))
     if not a.skip_take:
         cases.append(("fusedv1-take", t_take, run_take,
                       (wh, f_dst, bound, a_src, keepq, g)))
@@ -112,6 +122,60 @@ def main() -> int:
             cases.append(("fusedv1-take-grad", 3 * t_take,
                           grad_of(run_take),
                           (wh, f_dst, bound, a_src, keepq, g)))
+
+    if a.band:
+        from pygat_tpu.ops import banded as bd
+
+        print(f"[bench_large] building band plan (w={a.band_w})...",
+              file=sys.stderr, flush=True)
+        plan = bd.build_band_plan(g, w=a.band_w)
+        print(f"[bench_large] band plan: chunks={plan.num_chunks} "
+              f"fill={plan.fill:.3f}", file=sys.stderr, flush=True)
+        kqb = jnp.ones((plan.num_slots, a.h), jnp.float32)
+        band_op = bd._v1_banded_op(plan.w, 0.2, "fastest", interp)
+        flat = (plan.band, plan.s_loc, plan.r_local, plan.r_chunk,
+                plan.c_slot, plan.c_local, plan.c_chunk)
+
+        def run_band(wh, f_dst, bound, a_src, kqb, *flat):
+            return band_op(wh, f_dst, bound, a_src, kqb, *flat)[0]
+
+        # window DMA upper bound (w tab tiles per chunk, cached across
+        # chunks sharing a band base) + tile/out/den + keep window
+        bpe = 2  # bf16 windows in fastest mode
+        t_band = (plan.num_chunks * a.band_w * 128 * hf * bpe
+                  + n_pad * (hf + a.h) * 4 * 2
+                  + plan.num_slots * a.h * 4)
+        cases.append(("fusedv1-banded", t_band, run_band,
+                      (wh, f_dst, bound, a_src, kqb) + flat))
+        if a.grad:
+            cases.append(("fusedv1-banded-grad", 3 * t_band,
+                          grad_of(run_band),
+                          (wh, f_dst, bound, a_src, kqb) + flat))
+
+        # SpMM over the same plan: fused single-pass vs two-pass
+        vals_b = plan.edge_weight
+        spmm_op = bd._spmm_banded_op(plan.w, "fastest", interp)
+
+        def run_spmm_fused(x, v, *flat):
+            return spmm_op(v, x, *flat)
+
+        def run_spmm_2pass(x, v, *flat):
+            win = bd._banded_take_impl(x, flat[0], flat[1], a.band_w,
+                                       exact=False, interpret=interp)
+            from pygat_tpu.ops.stream import stream_scatter
+
+            return stream_scatter(v[:, None] * win.astype(jnp.float32),
+                                  flat[2], flat[3], x.shape[0],
+                                  precision="fastest", interpret=interp)
+
+        xs = wh  # [N, HF] table doubles as the SpMM dense operand
+        t_spmm_f = (plan.num_chunks * a.band_w * 128 * hf * bpe
+                    + n_pad * hf * 4 + plan.num_slots * 4)
+        t_spmm_2 = t_spmm_f + plan.num_slots * hf * bpe * 2  # window RT
+        cases.append(("spmm-banded-fused", t_spmm_f, run_spmm_fused,
+                      (xs, vals_b) + flat))
+        cases.append(("spmm-banded-2pass", t_spmm_2, run_spmm_2pass,
+                      (xs, vals_b) + flat))
 
     for name, traffic, fn, args in cases:
         print(f"[bench_large] timing {name}...", file=sys.stderr, flush=True)

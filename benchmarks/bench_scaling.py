@@ -79,7 +79,7 @@ def main() -> int:
         return timeit(train_step, sstate, sdata.features, sdata.graph,
                       sdata.labels, sdata.idx_train)
 
-    def run_ring(n_dev: int) -> float:
+    def run_ring(n_dev: int, halo: bool = False) -> float:
         from pygat_tpu.parallel.partition import partition_edges
         from pygat_tpu.parallel.ring_model import make_ring_transductive_steps
 
@@ -88,12 +88,14 @@ def main() -> int:
         params = init_gat(jax.random.PRNGKey(72), cfg)
         state = init_state(params, tx, jax.random.PRNGKey(0))
         sdata, sstate = sharded_fit_inputs(data, state, mesh)
-        train_step, _ = make_ring_transductive_steps(cfg, tx, part, mesh)
+        train_step, _ = make_ring_transductive_steps(cfg, tx, part, mesh,
+                                                     halo=halo)
         return timeit(train_step, sstate, sdata.features, sdata.labels,
                       sdata.idx_train)
 
     base = {}
-    for mode, runner in (("gspmd", run_gspmd), ("ring", run_ring)):
+    for mode, runner in (("gspmd", run_gspmd), ("ring", run_ring),
+                         ("ring_halo", lambda n: run_ring(n, halo=True))):
         for n_dev in counts:
             t = runner(n_dev)
             eff = (base[mode] / (t * n_dev)) if mode in base else 1.0

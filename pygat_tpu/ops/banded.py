@@ -580,15 +580,163 @@ def fused_v2_attention_banded(whi, whj, ub, a, keepq, plan: BandPlan, *,
 # ---------------------------------------------------------------------------
 
 
+def _make_spmm_banded_kernel(w: int, exact: bool, interpret: bool):
+    """Weighted select + scatter fused: per chunk, ONE pass builds
+    msgs[e] = vals[e] * x[send[e]] as a vals-scaled one-hot MXU matmul
+    against the VMEM window and scatters it with the receiver one-hot —
+    the [E_b, L] message window never touches HBM (the two-pass form's
+    dominant traffic term)."""
+    from pygat_tpu.ops.fused_stream import _rounder, _split_hi
+
+    hp = jax.lax.Precision.HIGHEST if exact else MXU_PREC
+
+    def kernel(*refs):
+        (band_ref, ct_ref, sloc_ref, local_ref, val_ref) = refs[:5]
+        tabs = refs[5:5 + w]
+        out_ref = refs[5 + w]
+        i = pl.program_id(0)
+        tile = ct_ref[i]
+        first = jnp.logical_or(i == 0, ct_ref[jnp.maximum(i - 1, 0)] != tile)
+
+        @pl.when(first)
+        def _():
+            out_ref[:] = jnp.zeros_like(out_ref)
+
+        vr = _rounder(False, interpret)
+        loc = local_ref[0, i % 8, :]  # [EC]; DEAD -> zero one-hot column
+        sloc = sloc_ref[0, i % 8, :]  # [EC]; w*TILE -> zero select row
+        vals = val_ref[0, i % 8, :]  # [EC] f32
+        win = jnp.concatenate([t[...] for t in tabs], axis=0)  # [w*128, L]
+        lanes_s = jax.lax.broadcasted_iota(jnp.int32, (EC, w * TILE), 1)
+        ohs = (lanes_s == sloc[:, None]).astype(jnp.float32)
+        rows = jax.lax.broadcasted_iota(jnp.int32, (TILE, EC), 0)
+        ohf = (rows == loc[None, :]).astype(jnp.float32)
+        if exact:
+            # f32 window values: exact select (HIGHEST), then scale and
+            # two-limb scatter exactly like the stream 'high' path
+            g = jnp.dot(ohs, win, preferred_element_type=jnp.float32,
+                        precision=hp)  # [EC, L]
+            msgs = vals[:, None] * g
+            hi = _split_hi(msgs)
+            acc = jnp.dot(vr(ohf), vr(hi),
+                          preferred_element_type=jnp.float32,
+                          precision=MXU_PREC)
+            acc = acc + jnp.dot(vr(ohf), vr(msgs - hi),
+                                preferred_element_type=jnp.float32,
+                                precision=MXU_PREC)
+        else:
+            # bf16 window: fold the edge weight INTO the select one-hot
+            # (one scaled-select matmul replaces select + multiply)
+            g = jnp.dot(vr(ohs * vals[:, None]), win,
+                        preferred_element_type=jnp.float32,
+                        precision=MXU_PREC)  # [EC, L] f32
+            acc = jnp.dot(vr(ohf), vr(g),
+                          preferred_element_type=jnp.float32,
+                          precision=MXU_PREC)
+        out_ref[:] += acc
+
+    return kernel
+
+
+def _spmm_banded_fused_impl(values_b, x, band, s_loc, r_local, r_chunk,
+                            w: int, exact: bool, interpret: bool):
+    n_pad, l_real = x.shape
+    c = band.shape[0]
+    l_pad = -(-l_real // 128) * 128
+    xt = x
+    if l_pad != l_real:
+        xt = jnp.pad(xt, ((0, 0), (0, l_pad - l_real)))
+    xt = xt.astype(jnp.float32 if exact else jnp.bfloat16)
+    sloc8 = s_loc.reshape(c // 8, 8, EC)
+    local8 = r_local.reshape(c // 8, 8, EC)
+    # (8, EC)-packed like sloc/local: a (1, EC) block fails the TPU
+    # lowering's (8, 128) block-divisibility rule (interpret mode hides it)
+    vals = values_b.astype(jnp.float32).reshape(c // 8, 8, EC)
+
+    def _tab_spec(j):
+        return pl.BlockSpec((TILE, l_pad),
+                            lambda i, b, ct, _j=j: (b[i] + _j, 0))
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(c,),
+        in_specs=[
+            pl.BlockSpec((1, 8, EC), lambda i, b, ct: (i // 8, 0, 0)),
+            pl.BlockSpec((1, 8, EC), lambda i, b, ct: (i // 8, 0, 0)),
+            pl.BlockSpec((1, 8, EC), lambda i, b, ct: (i // 8, 0, 0)),
+        ]
+        + [_tab_spec(j) for j in range(w)],
+        out_specs=pl.BlockSpec((TILE, l_pad), lambda i, b, ct: (ct[i], 0)),
+    )
+    out = pl.pallas_call(
+        _make_spmm_banded_kernel(w, exact, interpret),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((n_pad, l_pad), jnp.float32),
+        interpret=interpret,
+    )(band, r_chunk, sloc8, local8, vals, *([xt] * w))
+    return out[:, :l_real] if l_pad != l_real else out
+
+
+@_lru_cache(maxsize=None)
+def _spmm_banded_op(w: int, precision: str, interpret: bool):
+    """custom_vjp fused banded SpMM over flat band-plan arrays.
+    Signature: op(values_b, x, band, s_loc, r_local, r_chunk, c_slot,
+    c_local, c_chunk) -> out [N, L]."""
+    exact = precision != "fastest"
+    prec = "high" if exact else "fastest"
+
+    def _fwd_impl(values_b, x, band, s_loc, r_local, r_chunk):
+        return _spmm_banded_fused_impl(values_b, x, band, s_loc, r_local,
+                                       r_chunk, w, exact, interpret)
+
+    @jax.custom_vjp
+    def op(values_b, x, band, s_loc, r_local, r_chunk, c_slot, c_local,
+           c_chunk):
+        return _fwd_impl(values_b, x, band, s_loc, r_local, r_chunk)
+
+    def fwd(values_b, x, band, s_loc, r_local, r_chunk, c_slot, c_local,
+            c_chunk):
+        out = _fwd_impl(values_b, x, band, s_loc, r_local, r_chunk)
+        return out, (values_b, x, band, s_loc, r_local, r_chunk, c_slot,
+                     c_local, c_chunk)
+
+    def bwd(res, g_out):
+        (values_b, x, band, s_loc, r_local, r_chunk, c_slot, c_local,
+         c_chunk) = res
+        n_pad = x.shape[0]
+        # dvals[e] = <g_out[recv_b[e]], x[send_b[e]]>  (banded SDDMM);
+        # win is zero at dead slots, so dvals vanishes there
+        win = _banded_take_impl(x, band, s_loc, w, exact=exact,
+                                interpret=interpret).astype(jnp.float32)
+        ge = _banded_expand(g_out, r_local, r_chunk, interpret)
+        dvals = jnp.sum(win * ge, axis=1)
+        # dx = per-sender sum of vals * g_out[recv] (CSC stream covers
+        # real edges only — dead banded slots never reach it)
+        dx = _banded_sender_sum(values_b[:, None] * ge, c_slot, c_local,
+                                c_chunk, n_pad, prec, interpret)
+        return (dvals, dx, None, None, None, None, None, None, None)
+
+    op.defvjp(fwd, bwd)
+    return op
+
+
 def spmm_banded(values_b: jax.Array, x: jax.Array, plan: BandPlan, *,
-                precision: str = "fastest", interpret: bool = False):
+                precision: str = "fastest", interpret: bool = False,
+                fused: bool = True):
     """``out[i] = sum_{e: recv_b[e]=i} values_b[e] * x[senders_b[e]]``.
 
-    ``values_b`` must be in banded order (dead slots ignored via the
-    stream scatter's one-hot). Differentiable in values_b and x: the
-    banded gathers are wrapped by the scatter's linearity (JAX autodiff
-    would differentiate through the Pallas kernels; use the fused
-    attention ops for training-path large-N instead)."""
+    ``values_b`` must be in banded order (dead slots ignored — the select
+    one-hot is zero there). ``fused=True`` (default) runs select+scale+
+    scatter in ONE kernel pass (the [E_b, L] message window never touches
+    HBM); ``fused=False`` keeps the round-5 two-pass composition
+    (banded_take -> stream_scatter) for A/B measurement. Differentiable in
+    values_b and x via a custom VJP (banded SDDMM + CSC sender sum).
+    Forward path of the reference's SpecialSpmm (layers.py:150-156) at
+    large N."""
+    if fused:
+        op = _spmm_banded_op(plan.w, precision, interpret)
+        return op(values_b, x, plan.band, plan.s_loc, plan.r_local,
+                  plan.r_chunk, plan.c_slot, plan.c_local, plan.c_chunk)
     from pygat_tpu.ops.stream import stream_scatter
 
     win = banded_take(x, plan, exact=precision != "fastest",

@@ -205,13 +205,21 @@ def _make_v1_kernel(alpha: float, h: int, hf: int, two_limb: bool,
 
 
 def _make_v2_kernel(alpha: float, h: int, hf: int, two_limb: bool,
-                    interpret: bool):
+                    interpret: bool, combined: bool = False):
     mm = _rounder(two_limb, interpret)
     hp = jax.lax.Precision.HIGHEST if two_limb else MXU_PREC  # see v1
 
     def kernel(*refs):
-        (ct_ref, local_ref, gj_ref, gi_ref, keep_ref, wiub_ref,
-         abd_ref, exp_ref, out_ref, den_ref) = refs
+        if combined:
+            # one [EC, 2HF] window: lanes [:hf] = whj at senders (logit
+            # operand), lanes [hf:] = whi at senders (message operand) —
+            # ONE gather + ONE window DMA stream instead of two (VERDICT
+            # r4 item 7)
+            (ct_ref, local_ref, gji_ref, keep_ref, wiub_ref,
+             abd_ref, exp_ref, out_ref, den_ref) = refs
+        else:
+            (ct_ref, local_ref, gj_ref, gi_ref, keep_ref, wiub_ref,
+             abd_ref, exp_ref, out_ref, den_ref) = refs
         i = pl.program_id(0)
         tile = ct_ref[i]
         first = jnp.logical_or(i == 0, ct_ref[jnp.maximum(i - 1, 0)] != tile)
@@ -232,7 +240,11 @@ def _make_v2_kernel(alpha: float, h: int, hf: int, two_limb: bool,
         wiub_e = jnp.dot(ohT, wiub_ref[...],
                          preferred_element_type=jnp.float32,
                          precision=hp)  # [EC, HF+H]
-        gj = gj_ref[0]  # whj at senders
+        if combined:
+            gji = gji_ref[0]  # [EC, 2HF]
+            gj = gji[:, :hf]  # whj at senders
+        else:
+            gj = gj_ref[0]  # whj at senders
         pre_raw = wiub_e[:, :hf] + gj.astype(jnp.float32)
         pre = jnp.where(pre_raw >= 0, pre_raw, alpha * pre_raw)
         logits = jnp.dot(mm(pre), mm(abd_ref[...]),
@@ -247,7 +259,8 @@ def _make_v2_kernel(alpha: float, h: int, hf: int, two_limb: bool,
         qnum_hf = jnp.dot(qnum, exp_ref[...],
                           preferred_element_type=jnp.float32,
                           precision=hp)
-        msgs = gi_ref[0].astype(jnp.float32) * qnum_hf  # whi at senders
+        gi = gji[:, hf:] if combined else gi_ref[0]
+        msgs = gi.astype(jnp.float32) * qnum_hf  # whi at senders
         if two_limb:
             hi = _split_hi(msgs)
             acc = jnp.dot(oh, vr(hi), preferred_element_type=jnp.float32,
@@ -267,6 +280,28 @@ def _make_v2_kernel(alpha: float, h: int, hf: int, two_limb: bool,
 
 def _win_dtype(precision: str):
     return jnp.float32 if precision != "fastest" else jnp.bfloat16
+
+
+_V2_WINDOW = None  # resolved lazily from the env (benches flip it directly)
+
+
+def _v2_window_mode() -> str:
+    """'combined' gathers (whj|whi)@senders as ONE [E, 2HF] window (one
+    XLA gather + one DMA stream per chunk); 'split' keeps the round-4 two
+    [E, HF] windows. PYGAT_V2_WINDOW overrides."""
+    global _V2_WINDOW
+    if _V2_WINDOW is None:
+        import os
+
+        _V2_WINDOW = os.environ.get("PYGAT_V2_WINDOW", "combined")
+    return _V2_WINDOW
+
+
+def set_v2_window(mode: str) -> None:
+    global _V2_WINDOW
+    if mode not in ("combined", "split"):
+        raise ValueError(f"unknown v2 window mode {mode!r}")
+    _V2_WINDOW = mode
 
 
 def _grid_call(kernel, r_chunk, window_specs, windows, tile_specs, tiles,
@@ -441,19 +476,32 @@ def _v2_fwd_impl(whi, whj, ub, a, keepq, senders, r_local, r_chunk,
     two_limb = precision != "fastest"
     wdt = _win_dtype(precision)
 
-    gj = jnp.take(whj, senders, axis=0).astype(wdt)
-    gi = jnp.take(whi, senders, axis=0).astype(wdt)
+    combined = _v2_window_mode() == "combined"
     wiub = jnp.concatenate([whi, ub], axis=1)  # [N, HF+H]
     abd = _block_diag_a(a.astype(wdt))
     exp_bd = _expand_bd(h, f)
     local8 = r_local.reshape(e // EC // 8, 8, EC)
 
+    if combined:
+        # one gather from the concatenated (whj|whi) table — halves the
+        # gather-op count and the per-chunk DMA-stream count vs 'split'
+        gji = jnp.take(jnp.concatenate([whj, whi], axis=1),
+                       senders, axis=0).astype(wdt)  # [E, 2HF]
+        window_specs = [_window_spec(2 * hf), _window_spec(h)]
+        windows = [gji.reshape(e // EC, EC, 2 * hf),
+                   keepq.reshape(e // EC, EC, h)]
+    else:
+        gj = jnp.take(whj, senders, axis=0).astype(wdt)
+        gi = jnp.take(whi, senders, axis=0).astype(wdt)
+        window_specs = [_window_spec(hf), _window_spec(hf), _window_spec(h)]
+        windows = [gj.reshape(e // EC, EC, hf), gi.reshape(e // EC, EC, hf),
+                   keepq.reshape(e // EC, EC, h)]
+
     out, den = _grid_call(
-        _make_v2_kernel(alpha, h, hf, two_limb, interpret),
+        _make_v2_kernel(alpha, h, hf, two_limb, interpret, combined),
         r_chunk,
-        [_window_spec(hf), _window_spec(hf), _window_spec(h)],
-        [gj.reshape(e // EC, EC, hf), gi.reshape(e // EC, EC, hf),
-         keepq.reshape(e // EC, EC, h)],
+        window_specs,
+        windows,
         [_tile_spec(hf + h)], [wiub],
         [_const_spec(hf, h), _const_spec(h, hf)], [abd, exp_bd],
         local8, n_pad, hf, h, interpret,
@@ -482,8 +530,11 @@ def _v2_bwd(alpha, precision, interpret, res, cts):
     h, f = a.shape
     prec = "high" if precision != "fastest" else "fastest"
 
-    gj = jnp.take(whj, senders, axis=0)
-    gi = jnp.take(whi, senders, axis=0)
+    # one gather from the concatenated table (mirrors the forward's
+    # combined window; XLA fuses the lane slices into the consumers)
+    gji = jnp.take(jnp.concatenate([whj, whi], axis=1), senders, axis=0)
+    gj = gji[:, :hf]
+    gi = gji[:, hf:]
     wi_e = jnp.take(whi, receivers, axis=0)
     raw = wi_e + gj  # [E, HF]
     pre = _leaky(raw, alpha)

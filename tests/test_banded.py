@@ -201,10 +201,52 @@ def test_spmm_banded_matches_spmm_graph():
     live = perm >= 0
     vals_b[live] = np.asarray(vals)[perm[live]]
     got = bd.spmm_banded(jnp.asarray(vals_b), x, plan,
-                         precision="high", interpret=True)
+                         precision="high", interpret=True, fused=False)
     # both sides are two-limb (~1e-5 relative) reductions over different
     # summation orders
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=5e-4, atol=5e-4)
+    # fused single-pass kernel == two-pass composition (same banded order,
+    # same precision class)
+    got_f = bd.spmm_banded(jnp.asarray(vals_b), x, plan,
+                           precision="high", interpret=True, fused=True)
+    np.testing.assert_allclose(np.asarray(got_f), np.asarray(got),
+                               rtol=5e-4, atol=5e-4)
+
+
+def test_spmm_banded_fused_grads_match_oracle():
+    """Custom VJP of the fused banded SpMM vs a numpy oracle over the
+    plan's live slots (dvals = <g_out[recv], x[send]>, dx = sender
+    scatter of vals * g_out[recv])."""
+    g, rng = _graph(520, 4, 11, spread=150)
+    plan = bd.build_band_plan(g, w=4)
+    n_pad = g.num_nodes_padded
+    x = jnp.asarray(rng.standard_normal((n_pad, 40)).astype(np.float32))
+    vals_b = np.zeros(plan.num_slots, np.float32)
+    live = plan.perm >= 0
+    vals_b[live] = rng.standard_normal(int(live.sum())).astype(np.float32)
+    ct = jnp.asarray(
+        rng.standard_normal((n_pad, 40)).astype(np.float32))
+
+    def loss(v, xx):
+        out = bd.spmm_banded(v, xx, plan, precision="high", interpret=True)
+        return jnp.sum(out * ct)
+
+    dv, dx = jax.grad(loss, (0, 1))(jnp.asarray(vals_b), x)
+
+    s = np.asarray(plan.senders)
+    r = np.asarray(plan.receivers)
+    rc = np.asarray(plan.r_chunk)
+    glob_r = rc[np.arange(plan.num_slots) // EC] * TILE \
+        + np.asarray(plan.r_local)
+    ctn, xn = np.asarray(ct), np.asarray(x)
+    dv_ref = np.zeros(plan.num_slots, np.float32)
+    dv_ref[live] = (ctn[glob_r[live]] * xn[s[live]]).sum(1)
+    dx_ref = np.zeros_like(xn)
+    np.add.at(dx_ref, s[live], vals_b[live, None] * ctn[glob_r[live]])
+    np.testing.assert_allclose(np.asarray(dv)[live], dv_ref[live],
+                               rtol=5e-4, atol=5e-4)
+    np.testing.assert_allclose(np.asarray(dx), dx_ref,
                                rtol=5e-4, atol=5e-4)
 
 

@@ -178,6 +178,66 @@ def test_compiled_fused_v2_take_vs_banded(gr):
                                rtol=1e-3, atol=1e-3)
 
 
+def test_compiled_fused_v2_window_modes(gr):
+    """Both v2 take-path window layouts compile and agree: 'combined'
+    (one [E, 2HF] gather + DMA stream, round-5 default) vs 'split' (two
+    [E, HF] windows, the round-4 layout). The combined kernel's in-kernel
+    lane slices (gji[:, :hf] at hf=128) are exactly what interpret mode
+    cannot vet."""
+    from pygat_tpu.ops import fused_stream as fs
+
+    g, rng = gr
+    whi, whj, f_dst, ub, a = _fused_operands(g, rng)
+    kq = jnp.ones((g.num_edges_padded, 4), jnp.float32)
+    outs = {}
+    prev = fs._v2_window_mode()
+    try:
+        for mode in ("combined", "split"):
+            fs.set_v2_window(mode)
+            outs[mode] = jax.jit(lambda *xs: fs.fused_v2_attention(
+                *xs, g.senders, g.receivers, g.r_local, g.r_chunk,
+                g.c_slot, g.c_local, g.c_chunk, 0.2, "high", False))(
+                whi, whj, ub, a, kq)
+    finally:
+        fs.set_v2_window(prev)
+    for got, ref in zip(outs["combined"], outs["split"]):
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   rtol=1e-4, atol=1e-4)
+
+
+@pytest.mark.parametrize("precision", ["fastest", "high"])
+def test_compiled_spmm_banded_fused(gr, precision):
+    """The fused banded SpMM kernel (weighted select + scatter in one
+    pass) compiled, fwd + custom-VJP grads, vs the numpy oracle."""
+    from pygat_tpu.ops.banded import build_band_plan, spmm_banded
+
+    g, rng = gr
+    plan = build_band_plan(g, w=4)
+    x = jnp.asarray(
+        rng.standard_normal((g.num_nodes_padded, 96)).astype(np.float32))
+    vals_b = np.zeros(plan.num_slots, np.float32)
+    live = plan.perm >= 0
+    vals_b[live] = rng.standard_normal(int(live.sum())).astype(np.float32)
+
+    def loss(v, xx):
+        out = spmm_banded(v, xx, plan, precision=precision,
+                          interpret=False)
+        return jnp.sum(out ** 2), out
+
+    (_, out), grads = jax.jit(
+        jax.value_and_grad(loss, (0, 1), has_aux=True))(
+        jnp.asarray(vals_b), x)
+    s = np.asarray(plan.senders)
+    rl = np.asarray(plan.r_local)
+    rc = np.asarray(plan.r_chunk)
+    glob_r = rc[np.arange(plan.num_slots) // 256] * 128 + rl
+    ref = np.zeros((g.num_nodes_padded, 96), np.float32)
+    np.add.at(ref, glob_r[live], vals_b[live, None] * np.asarray(x)[s[live]])
+    tol = 1e-3 if precision == "high" else 5e-2
+    np.testing.assert_allclose(np.asarray(out), ref, rtol=tol, atol=tol)
+    assert all(np.isfinite(np.asarray(gg)).all() for gg in grads)
+
+
 def test_compiled_banded_take_exact(gr):
     from pygat_tpu.ops.banded import banded_take, build_band_plan
     from pygat_tpu.ops.stream import DEAD
