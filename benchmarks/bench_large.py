@@ -59,14 +59,21 @@ def main() -> int:
     n_pad, e_pad = g.num_nodes_padded, g.num_edges_padded
     e_real = int(g.n_edge)
     hf = a.h * a.f
-    plans = plan_csc_to_csr(g)
-    arr_f, ps_f = flatten_plan(plans.fwd)
-    arr_i, ps_i = flatten_plan(plans.inv)
-    k = len(ps_f)
-    print(f"[bench_large] N={a.n} E={e_real} HF={hf} corner passes fwd "
-          f"{[cp.p for cp in plans.fwd.passes]} overflow "
-          f"{plans.fwd.overflow_total + plans.inv.overflow_total}",
-          file=sys.stderr, flush=True)
+    if a.skip_corner:
+        arr_f = arr_i = ()
+        ps_f = ps_i = ()
+        k = 1  # only used in the (skipped) corner traffic model
+        print(f"[bench_large] N={a.n} E={e_real} HF={hf} (corner skipped)",
+              file=sys.stderr, flush=True)
+    else:
+        plans = plan_csc_to_csr(g)
+        arr_f, ps_f = flatten_plan(plans.fwd)
+        arr_i, ps_i = flatten_plan(plans.inv)
+        k = len(ps_f)
+        print(f"[bench_large] N={a.n} E={e_real} HF={hf} corner passes fwd "
+              f"{[cp.p for cp in plans.fwd.passes]} overflow "
+              f"{plans.fwd.overflow_total + plans.inv.overflow_total}",
+              file=sys.stderr, flush=True)
 
     rng = np.random.default_rng(1)
     wh = jnp.asarray(rng.standard_normal((n_pad, hf)).astype(np.float32))
@@ -77,7 +84,8 @@ def main() -> int:
         rng.standard_normal((a.h, a.f)).astype(np.float32) * 0.1)
     keepq = jnp.ones((e_pad, a.h), jnp.float32)
 
-    corner_op = fc._v1_corner_op(ps_f, ps_i, 0.2, "fastest", interp)
+    corner_op = (None if a.skip_corner else
+                 fc._v1_corner_op(ps_f, ps_i, 0.2, "fastest", interp))
 
     # bound/keepq ride as ARGUMENTS: closing over them embeds [N,H]/[E,H]
     # constants in the jitted scan body, and the remote compile helper
@@ -114,10 +122,11 @@ def main() -> int:
     if not a.skip_take:
         cases.append(("fusedv1-take", t_take, run_take,
                       (wh, f_dst, bound, a_src, keepq, g)))
-    if a.grad:
+    if a.grad and not a.skip_corner:
         cases.append(("fusedv1-corner-grad", 3 * t_corner,
                       grad_of(run_corner),
                       (wh, f_dst, bound, a_src, keepq, g) + arr_f + arr_i))
+    if a.grad:
         if not a.skip_take:
             cases.append(("fusedv1-take-grad", 3 * t_take,
                           grad_of(run_take),
@@ -134,7 +143,8 @@ def main() -> int:
         kqb = jnp.ones((plan.num_slots, a.h), jnp.float32)
         band_op = bd._v1_banded_op(plan.w, 0.2, "fastest", interp)
         flat = (plan.band, plan.s_loc, plan.r_local, plan.r_chunk,
-                plan.c_slot, plan.c_local, plan.c_chunk)
+                plan.c_slot, plan.c_local, plan.c_chunk,
+                plan.bs_band, plan.bs_chunk, plan.bs_sloc)
 
         def run_band(wh, f_dst, bound, a_src, kqb, *flat):
             return band_op(wh, f_dst, bound, a_src, kqb, *flat)[0]

@@ -33,6 +33,10 @@ def main() -> int:
     p.add_argument("--steps", type=int, default=20)
     p.add_argument("--out", type=str, default=None,
                    help="write the record list to this JSON file")
+    p.add_argument("--spread", type=int, default=None,
+                   help="locality-clustered senders within +-spread "
+                        "(default: planted-partition topology); the "
+                        "ring-halo mode needs locality to compress")
     a = p.parse_args()
     counts = sorted({int(v) for v in a.devices.split(",")})
 
@@ -52,7 +56,8 @@ def main() -> int:
 
     # pad so every swept shard count is 128-row-tile aligned (stream ring)
     n_pad = round_up(a.n + 1, 128 * max(counts))
-    data = ge._synthetic_citation(a.n, 128, 4, "bench-scaling", n_pad=n_pad)
+    data = ge._synthetic_citation(a.n, 128, 4, "bench-scaling", n_pad=n_pad,
+                                  spread=a.spread)
     cfg = GATConfig(nlayers=2, nheads=(8, 1), nfeats=(128, 8, 4),
                     dropout=0.6, alpha=0.2, layer_type="GAT_sparse")
     tx = make_optimizer(0.005, 5e-4)
@@ -79,12 +84,23 @@ def main() -> int:
         return timeit(train_step, sstate, sdata.features, sdata.graph,
                       sdata.labels, sdata.idx_train)
 
+    extras: dict = {}
+
     def run_ring(n_dev: int, halo: bool = False) -> float:
         from pygat_tpu.parallel.partition import partition_edges
         from pygat_tpu.parallel.ring_model import make_ring_transductive_steps
 
         mesh = make_mesh(n_dev, 1)
         part = partition_edges(data.graph, n_dev)
+        if n_dev > 1 and part.has_halo:
+            # bytes each hop moves vs the full-shard rotation — the halo
+            # win is BANDWIDTH, which a timeshared CPU mesh cannot see
+            # (memcpy-speed "ICI"); record the compression analytically
+            n_local = data.graph.num_nodes_padded // n_dev
+            extras[("ring_halo" if halo else "ring", n_dev)] = {
+                "halo_rows": int(part.h_rows),
+                "halo_bytes_frac": round(part.h_rows / n_local, 3),
+            }
         params = init_gat(jax.random.PRNGKey(72), cfg)
         state = init_state(params, tx, jax.random.PRNGKey(0))
         sdata, sstate = sharded_fit_inputs(data, state, mesh)
@@ -116,6 +132,8 @@ def main() -> int:
                 "platform": jax.devices()[0].platform,
                 "n_nodes": a.n,
                 "n_edges": n_edges,
+                "spread": a.spread,
+                **extras.get((mode, n_dev), {}),
             }
             records.append(rec)
             print(json.dumps(rec))

@@ -102,11 +102,21 @@ class BandPlan:
     c_slot: jax.Array  # [E_s2] int32
     c_local: jax.Array  # [E_s2] int32
     c_chunk: jax.Array  # [E_s2 / EC] int32
+    # Band-sorted chunk schedule for the GATHER-FREE sender reduction
+    # (_banded_sender_sum_direct): chunks reordered so window bases are
+    # non-decreasing — w per-window-tile output arrays then advance
+    # monotonically and per-chunk sender partials accumulate in VMEM.
+    # bs_band covers EVERY base in [0, n_tiles - w] (dead filler chunks
+    # guarantee each output block is visited/zeroed at least once).
+    bs_band: jax.Array  # [C2] int32, non-decreasing window base
+    bs_chunk: jax.Array  # [C2] int32 source banded chunk (0 on dead)
+    bs_sloc: jax.Array  # [C2/8, 8, EC] int32 s_loc in bs order (dead=w*128)
     fill: float  # real edges / (C * EC) — chunk-packing efficiency
     perm: np.ndarray  # [E_b] int64 HOST array: original edge index (-1 dead)
 
     _ARRAYS = ("band", "s_loc", "r_local", "r_chunk", "senders",
-               "receivers", "edge_weight", "c_slot", "c_local", "c_chunk")
+               "receivers", "edge_weight", "c_slot", "c_local", "c_chunk",
+               "bs_band", "bs_chunk", "bs_sloc")
 
     def tree_flatten(self):
         return (tuple(getattr(self, f) for f in self._ARRAYS),
@@ -235,6 +245,26 @@ def build_band_plan(graph, w: int = 4) -> BandPlan:
     c_lay = build_stream_layout(
         ptr, order=np.lexsort((receivers_b, senders_b)))
 
+    # band-sorted chunk schedule (gather-free sender reduction): insert a
+    # dead filler chunk for every uncovered base so the sorted bases cover
+    # [0, base_cap] without gaps, sort stably by base, pad to %8
+    covered = np.zeros(base_cap + 1, bool)
+    covered[base_a] = True
+    missing = np.nonzero(~covered)[0]
+    ent_band = np.concatenate([base_a, missing])
+    ent_chunk = np.concatenate(
+        [np.arange(c, dtype=np.int64), np.zeros(len(missing), np.int64)])
+    ent_dead = np.concatenate([np.zeros(c, bool), np.ones(len(missing), bool)])
+    o2 = np.argsort(ent_band, kind="stable")
+    ent_band, ent_chunk, ent_dead = ent_band[o2], ent_chunk[o2], ent_dead[o2]
+    pad2 = (-len(ent_band)) % 8
+    ent_band = np.concatenate([ent_band, np.full(pad2, base_cap, np.int64)])
+    ent_chunk = np.concatenate([ent_chunk, np.zeros(pad2, np.int64)])
+    ent_dead = np.concatenate([ent_dead, np.ones(pad2, bool)])
+    c2 = len(ent_band)
+    sloc2 = s_loc.reshape(c, EC)[ent_chunk].copy()
+    sloc2[ent_dead] = w * TILE  # filler chunks select nothing
+
     return BandPlan(
         w=w,
         band=jnp.asarray(base_a.astype(np.int32)),
@@ -247,6 +277,9 @@ def build_band_plan(graph, w: int = 4) -> BandPlan:
         c_slot=jnp.asarray(np.maximum(c_lay.slot, 0).astype(np.int32)),
         c_local=jnp.asarray(c_lay.local),
         c_chunk=jnp.asarray(c_lay.chunk_tile),
+        bs_band=jnp.asarray(ent_band.astype(np.int32)),
+        bs_chunk=jnp.asarray(ent_chunk.astype(np.int32)),
+        bs_sloc=jnp.asarray(sloc2.reshape(c2 // 8, 8, EC)),
         fill=float(len(eidx)) / float(e_b),
         perm=perm,
     )
@@ -349,12 +382,116 @@ def _banded_expand(x, r_local, r_chunk, interpret: bool):
 def _banded_sender_sum(data, c_slot, c_local, c_chunk, n_pad: int,
                        precision: str, interpret: bool):
     """Per-sender segment sum of banded-order edge data via the plan's CSC
-    stream (the one remaining serialized row move: take(data, c_slot))."""
+    stream. The leading ``take(data, c_slot)`` is a serialized XLA row
+    gather (~11.5 ns/row) — ~100 ms alone at 524k/deg16 — kept only as
+    the fallback for :func:`_banded_sender_sum_direct`."""
     from pygat_tpu.ops.stream import stream_scatter
 
     streamed = jnp.take(data, c_slot, axis=0)
     return stream_scatter(streamed, c_local, c_chunk, n_pad,
                           precision=precision, interpret=interpret)
+
+
+def _make_sender_sum_kernel(w: int, exact: bool, interpret: bool):
+    """Per-chunk sender partials, gather-free: ohT[w*128, EC] (from the
+    chunk's s_loc) times the [EC, L] edge-data block scatters every edge's
+    row onto its sender row within the chunk's w-tile window; the w
+    128-row slices accumulate into w band-indexed output arrays. Chunks
+    arrive band-SORTED (plan.bs_*), so each output's block index is
+    non-decreasing and VMEM accumulation is valid."""
+    from pygat_tpu.ops.fused_stream import _rounder, _split_hi
+
+    def kernel(*refs):
+        (bb_ref, bc_ref, sloc_ref, data_ref) = refs[:4]
+        outs = refs[4:4 + w]
+        i = pl.program_id(0)
+        b = bb_ref[i]
+        first = jnp.logical_or(i == 0, bb_ref[jnp.maximum(i - 1, 0)] != b)
+
+        @pl.when(first)
+        def _():
+            for o in outs:
+                o[:] = jnp.zeros_like(o)
+
+        vr = _rounder(False, interpret)
+        sloc = sloc_ref[0, i % 8, :]  # [EC]; w*TILE = dead (zero column)
+        d = data_ref[0]  # [EC, L] f32
+        rows = jax.lax.broadcasted_iota(jnp.int32, (w * TILE, EC), 0)
+        ohT = (rows == sloc[None, :]).astype(jnp.float32)
+        if exact:
+            # two-limb pass (stream 'high' semantics): hi limb is
+            # bf16-exact, the residual carries the low mantissa bits
+            hi = _split_hi(d)
+            p = jnp.dot(vr(ohT), vr(hi), preferred_element_type=jnp.float32,
+                        precision=MXU_PREC)
+            p = p + jnp.dot(vr(ohT), vr(d - hi),
+                            preferred_element_type=jnp.float32,
+                            precision=MXU_PREC)
+        else:
+            p = jnp.dot(vr(ohT), vr(d), preferred_element_type=jnp.float32,
+                        precision=MXU_PREC)
+        for j, o in enumerate(outs):
+            o[:] += p[j * TILE:(j + 1) * TILE, :]
+
+    return kernel
+
+
+def _banded_sender_sum_direct(data, bs_band, bs_chunk, bs_sloc, w: int,
+                              n_pad: int, precision: str, interpret: bool):
+    """Gather-free per-sender segment sum of banded-order edge data.
+
+    Replaces ``take(data, c_slot)`` + stream scatter with ONE kernel pass:
+    edge-data CHUNKS are block-fetched in band-sorted order via a
+    scalar-prefetch index map (block-granular indirection — no row
+    gather), per-chunk partials land on the chunk's w-tile window, and w
+    output arrays (one per window offset) accumulate monotonically. The
+    final fold sums the w arrays with the never-visited edge tiles
+    zeroed. Measured r5 at 262k/deg16: fused-v1 fwd+bwd 155 -> ~55 ms
+    (the c_slot gather was ~2/3 of the whole backward)."""
+    e_b, l_real = data.shape
+    c = e_b // EC
+    c2 = bs_band.shape[0]
+    n_tiles = n_pad // TILE
+    base_cap = n_tiles - w
+    l_pad = -(-l_real // 128) * 128
+    d = data
+    if l_pad != l_real:
+        d = jnp.pad(d, ((0, 0), (0, l_pad - l_real)))
+    d = d.astype(jnp.float32).reshape(c, EC, l_pad)
+    exact = precision != "fastest"
+
+    def _out_spec(j):
+        return pl.BlockSpec((TILE, l_pad),
+                            lambda i, bb, bc, _j=j: (bb[i] + _j, 0))
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(c2,),
+        in_specs=[
+            pl.BlockSpec((1, 8, EC), lambda i, bb, bc: (i // 8, 0, 0)),
+            pl.BlockSpec((1, EC, l_pad), lambda i, bb, bc: (bc[i], 0, 0)),
+        ],
+        out_specs=[_out_spec(j) for j in range(w)],
+    )
+    outs = pl.pallas_call(
+        _make_sender_sum_kernel(w, exact, interpret),
+        grid_spec=grid_spec,
+        out_shape=[jax.ShapeDtypeStruct((n_pad, l_pad), jnp.float32)
+                   for _ in range(w)],
+        interpret=interpret,
+    )(bs_band, bs_chunk, bs_sloc, d)
+
+    total = None
+    for j, o in enumerate(outs):
+        # output j only visits tiles j .. base_cap + j; rows outside carry
+        # whatever the kernel never touched
+        if j > 0:
+            o = o.at[:j * TILE].set(0.0)
+        hi = (base_cap + j + 1) * TILE
+        if hi < n_pad:
+            o = o.at[hi:].set(0.0)
+        total = o if total is None else total + o
+    return total[:, :l_real] if l_pad != l_real else total
 
 
 @_lru_cache(maxsize=None)
@@ -397,20 +534,21 @@ def _v1_banded_op(w: int, alpha: float, precision: str, interpret: bool):
 
     @jax.custom_vjp
     def op(wh, f_dst, bound, a_src, keepq, band, s_loc, r_local, r_chunk,
-           c_slot, c_local, c_chunk):
+           c_slot, c_local, c_chunk, bs_band, bs_chunk, bs_sloc):
         return _fwd_impl(wh, f_dst, bound, a_src, keepq, band, s_loc,
                          r_local, r_chunk)
 
     def fwd(wh, f_dst, bound, a_src, keepq, band, s_loc, r_local, r_chunk,
-            c_slot, c_local, c_chunk):
+            c_slot, c_local, c_chunk, bs_band, bs_chunk, bs_sloc):
         out = _fwd_impl(wh, f_dst, bound, a_src, keepq, band, s_loc,
                         r_local, r_chunk)
         return out, (wh, f_dst, bound, a_src, keepq, band, s_loc, r_local,
-                     r_chunk, c_slot, c_local, c_chunk)
+                     r_chunk, c_slot, c_local, c_chunk, bs_band, bs_chunk,
+                     bs_sloc)
 
     def bwd(res, cts):
         (wh, f_dst, bound, a_src, keepq, band, s_loc, r_local, r_chunk,
-         c_slot, c_local, c_chunk) = res
+         c_slot, c_local, c_chunk, bs_band, bs_chunk, bs_sloc) = res
         g_out, g_den = cts
         n_pad, hf = wh.shape
         h, f = a_src.shape
@@ -440,11 +578,11 @@ def _v1_banded_op(w: int, alpha: float, precision: str, interpret: bool):
         df_dst = stream_scatter(draw, r_local, r_chunk, n_pad,
                                 precision=prec, interpret=interpret)
         dgathered = dmsg * (qnum @ exp_bd) + draw @ abd.T  # [E_b, HF]
-        dwh = _banded_sender_sum(dgathered, c_slot, c_local, c_chunk, n_pad,
-                                 prec, interpret)
+        dwh = _banded_sender_sum_direct(dgathered, bs_band, bs_chunk,
+                                        bs_sloc, w, n_pad, prec, interpret)
         da = jnp.sum(g_w * (draw @ exp_bd), axis=0).reshape(h, f)
         return (dwh, df_dst, None, da, None, None, None, None, None, None,
-                None, None)
+                None, None, None, None, None)
 
     op.defvjp(fwd, bwd)
     return op
@@ -491,20 +629,20 @@ def _v2_banded_op(w: int, alpha: float, precision: str, interpret: bool):
 
     @jax.custom_vjp
     def op(whi, whj, ub, a, keepq, band, s_loc, r_local, r_chunk,
-           c_slot, c_local, c_chunk):
+           c_slot, c_local, c_chunk, bs_band, bs_chunk, bs_sloc):
         return _fwd_impl(whi, whj, ub, a, keepq, band, s_loc, r_local,
                          r_chunk)
 
     def fwd(whi, whj, ub, a, keepq, band, s_loc, r_local, r_chunk,
-            c_slot, c_local, c_chunk):
+            c_slot, c_local, c_chunk, bs_band, bs_chunk, bs_sloc):
         out = _fwd_impl(whi, whj, ub, a, keepq, band, s_loc, r_local,
                         r_chunk)
         return out, (whi, whj, ub, a, keepq, band, s_loc, r_local, r_chunk,
-                     c_slot, c_local, c_chunk)
+                     c_slot, c_local, c_chunk, bs_band, bs_chunk, bs_sloc)
 
     def bwd(res, cts):
         (whi, whj, ub, a, keepq, band, s_loc, r_local, r_chunk,
-         c_slot, c_local, c_chunk) = res
+         c_slot, c_local, c_chunk, bs_band, bs_chunk, bs_sloc) = res
         g_out, g_den = cts
         n_pad, hf = whi.shape
         h, f = a.shape
@@ -540,13 +678,13 @@ def _v2_banded_op(w: int, alpha: float, precision: str, interpret: bool):
                                 precision=prec, interpret=interpret)
         dmsg_s = dmsg * (qnum @ exp_bd)
         both = jnp.concatenate([dpre, dmsg_s], axis=1)  # [E_b, 2HF]
-        red = _banded_sender_sum(both, c_slot, c_local, c_chunk, n_pad,
-                                 prec, interpret)
+        red = _banded_sender_sum_direct(both, bs_band, bs_chunk, bs_sloc,
+                                        w, n_pad, prec, interpret)
         dwhj = red[:, :hf]
         dwhi = dwhi_e + red[:, hf:]
         da = jnp.sum(pre * (dlogits @ exp_bd), axis=0).reshape(h, f)
         return (dwhi, dwhj, None, da, None, None, None, None, None, None,
-                None, None)
+                None, None, None, None, None)
 
     op.defvjp(fwd, bwd)
     return op
@@ -560,7 +698,7 @@ def fused_v1_attention_banded(wh, f_dst, bound, a_src, keepq,
     op = _v1_banded_op(plan.w, float(alpha), precision, interpret)
     return op(wh, f_dst, bound, a_src, keepq, plan.band, plan.s_loc,
               plan.r_local, plan.r_chunk, plan.c_slot, plan.c_local,
-              plan.c_chunk)
+              plan.c_chunk, plan.bs_band, plan.bs_chunk, plan.bs_sloc)
 
 
 def fused_v2_attention_banded(whi, whj, ub, a, keepq, plan: BandPlan, *,
@@ -569,7 +707,7 @@ def fused_v2_attention_banded(whi, whj, ub, a, keepq, plan: BandPlan, *,
     op = _v2_banded_op(plan.w, float(alpha), precision, interpret)
     return op(whi, whj, ub, a, keepq, plan.band, plan.s_loc,
               plan.r_local, plan.r_chunk, plan.c_slot, plan.c_local,
-              plan.c_chunk)
+              plan.c_chunk, plan.bs_band, plan.bs_chunk, plan.bs_sloc)
 
 
 # ---------------------------------------------------------------------------
@@ -691,18 +829,18 @@ def _spmm_banded_op(w: int, precision: str, interpret: bool):
 
     @jax.custom_vjp
     def op(values_b, x, band, s_loc, r_local, r_chunk, c_slot, c_local,
-           c_chunk):
+           c_chunk, bs_band, bs_chunk, bs_sloc):
         return _fwd_impl(values_b, x, band, s_loc, r_local, r_chunk)
 
     def fwd(values_b, x, band, s_loc, r_local, r_chunk, c_slot, c_local,
-            c_chunk):
+            c_chunk, bs_band, bs_chunk, bs_sloc):
         out = _fwd_impl(values_b, x, band, s_loc, r_local, r_chunk)
         return out, (values_b, x, band, s_loc, r_local, r_chunk, c_slot,
-                     c_local, c_chunk)
+                     c_local, c_chunk, bs_band, bs_chunk, bs_sloc)
 
     def bwd(res, g_out):
         (values_b, x, band, s_loc, r_local, r_chunk, c_slot, c_local,
-         c_chunk) = res
+         c_chunk, bs_band, bs_chunk, bs_sloc) = res
         n_pad = x.shape[0]
         # dvals[e] = <g_out[recv_b[e]], x[send_b[e]]>  (banded SDDMM);
         # win is zero at dead slots, so dvals vanishes there
@@ -712,9 +850,11 @@ def _spmm_banded_op(w: int, precision: str, interpret: bool):
         dvals = jnp.sum(win * ge, axis=1)
         # dx = per-sender sum of vals * g_out[recv] (CSC stream covers
         # real edges only — dead banded slots never reach it)
-        dx = _banded_sender_sum(values_b[:, None] * ge, c_slot, c_local,
-                                c_chunk, n_pad, prec, interpret)
-        return (dvals, dx, None, None, None, None, None, None, None)
+        dx = _banded_sender_sum_direct(values_b[:, None] * ge, bs_band,
+                                       bs_chunk, bs_sloc, w, n_pad, prec,
+                                       interpret)
+        return (dvals, dx, None, None, None, None, None, None, None, None,
+                None, None)
 
     op.defvjp(fwd, bwd)
     return op
@@ -736,7 +876,8 @@ def spmm_banded(values_b: jax.Array, x: jax.Array, plan: BandPlan, *,
     if fused:
         op = _spmm_banded_op(plan.w, precision, interpret)
         return op(values_b, x, plan.band, plan.s_loc, plan.r_local,
-                  plan.r_chunk, plan.c_slot, plan.c_local, plan.c_chunk)
+                  plan.r_chunk, plan.c_slot, plan.c_local, plan.c_chunk,
+                  plan.bs_band, plan.bs_chunk, plan.bs_sloc)
     from pygat_tpu.ops.stream import stream_scatter
 
     win = banded_take(x, plan, exact=precision != "fastest",

@@ -168,15 +168,17 @@ def ring_apply_gat(
 
 def make_ring_transductive_steps(
     cfg: GATConfig, tx: optax.GradientTransformation,
-    part: EdgePartition, mesh: Mesh,
+    part: EdgePartition, mesh: Mesh, halo: bool | None = None,
 ):
     """(train_step, eval_step) mirroring ``make_transductive_steps`` but
     with the ring-attention forward; grad + Adam go through the shard_map.
     Inputs should be placed with the transductive shardings
-    (``sharded_fit_inputs``) so the surrounding stages are SPMD too."""
+    (``sharded_fit_inputs``) so the surrounding stages are SPMD too.
+    ``halo`` forwards to :func:`ring_apply_gat` (None = env default)."""
 
     def _loss(params, x, labels, idx, key, train):
-        out = ring_apply_gat(params, cfg, x, part, mesh, key, train=train)
+        out = ring_apply_gat(params, cfg, x, part, mesh, key, train=train,
+                             halo=halo)
         lp = log_logits(out)
         return nll_loss(lp[idx], labels[idx]), (accuracy(lp[idx], labels[idx]), out)
 
