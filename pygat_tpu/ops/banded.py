@@ -290,6 +290,27 @@ def build_band_plan(graph, w: int = 4) -> BandPlan:
 # ---------------------------------------------------------------------------
 
 
+def _window_select(sloc, tabs, prep, prec, scale=None):
+    """``sum_j onehot_j(sloc) @ tabs[j]`` — the banded row select as w
+    PER-TILE one-hot matmuls. Versus one [EC, w*128] one-hot against a
+    concatenated [w*128, L] window, this skips both the wide iota/compare
+    (w x fewer compared lanes) and the window concat copy; each row is
+    selected by exactly ONE term, so the sum is still a pure select.
+    ``scale`` (optional [EC]) folds per-edge weights into the one-hot.
+    Dead slots (sloc == w*TILE) match no term."""
+    ec = sloc.shape[0]
+    rows = jax.lax.broadcasted_iota(jnp.int32, (ec, TILE), 1)
+    g = None
+    for j, t in enumerate(tabs):
+        ohj = (sloc[:, None] == rows + j * TILE).astype(jnp.float32)
+        if scale is not None:
+            ohj = ohj * scale[:, None]
+        term = jnp.dot(prep(ohj), t[...],
+                       preferred_element_type=jnp.float32, precision=prec)
+        g = term if g is None else g + term
+    return g
+
+
 def _make_banded_kernel(w: int, exact: bool, out_dtype):
     def kernel(*refs):
         # (band, sloc, table x w, out) — band is consumed by the index maps
@@ -298,22 +319,17 @@ def _make_banded_kernel(w: int, exact: bool, out_dtype):
         out_ref = refs[2 + w]
         i = pl.program_id(0)
         loc = sloc_ref[0, i % 8, :]  # [EC]; w*TILE = dead slot
-        win = jnp.concatenate([t[...] for t in tabs], axis=0)  # [w*128, L]
-        lanes = jax.lax.broadcasted_iota(jnp.int32, (EC, w * TILE), 1)
-        ohf = (lanes == loc[:, None]).astype(jnp.float32)
         if exact:
             # f32 values: the select must run exact f32 passes — Mosaic's
             # DEFAULT on f32 operands is ONE lossy bf16 pass (CLAUDE.md)
-            out_ref[0] = jnp.dot(ohf, win,
-                                 preferred_element_type=jnp.float32,
-                                 precision=jax.lax.Precision.HIGHEST)
+            out_ref[0] = _window_select(
+                loc, tabs, lambda x: x, jax.lax.Precision.HIGHEST)
         else:
             # Mosaic requires a 32-bit matmul accumulator; the one-hot
             # select is a single term per output so the f32->bf16 store
             # cast is exact for bf16 window values
-            acc = jnp.dot(ohf.astype(jnp.bfloat16), win,
-                          preferred_element_type=jnp.float32,
-                          precision=MXU_PREC)
+            acc = _window_select(loc, tabs,
+                                 lambda x: x.astype(jnp.bfloat16), MXU_PREC)
             out_ref[0] = acc.astype(out_dtype)
 
     return kernel
@@ -416,22 +432,29 @@ def _make_sender_sum_kernel(w: int, exact: bool, interpret: bool):
         vr = _rounder(False, interpret)
         sloc = sloc_ref[0, i % 8, :]  # [EC]; w*TILE = dead (zero column)
         d = data_ref[0]  # [EC, L] f32
-        rows = jax.lax.broadcasted_iota(jnp.int32, (w * TILE, EC), 0)
-        ohT = (rows == sloc[None, :]).astype(jnp.float32)
+        rows = jax.lax.broadcasted_iota(jnp.int32, (TILE, EC), 0)
         if exact:
             # two-limb pass (stream 'high' semantics): hi limb is
             # bf16-exact, the residual carries the low mantissa bits
             hi = _split_hi(d)
-            p = jnp.dot(vr(ohT), vr(hi), preferred_element_type=jnp.float32,
-                        precision=MXU_PREC)
-            p = p + jnp.dot(vr(ohT), vr(d - hi),
-                            preferred_element_type=jnp.float32,
-                            precision=MXU_PREC)
-        else:
-            p = jnp.dot(vr(ohT), vr(d), preferred_element_type=jnp.float32,
-                        precision=MXU_PREC)
+            lo = d - hi
         for j, o in enumerate(outs):
-            o[:] += p[j * TILE:(j + 1) * TILE, :]
+            # per-tile transpose one-hot: scatters the chunk's edges whose
+            # sender sits in window tile j (w x fewer compared lanes than
+            # one [w*128, EC] one-hot)
+            ohTj = (rows + j * TILE == sloc[None, :]).astype(jnp.float32)
+            if exact:
+                pj = jnp.dot(vr(ohTj), vr(hi),
+                             preferred_element_type=jnp.float32,
+                             precision=MXU_PREC)
+                pj = pj + jnp.dot(vr(ohTj), vr(lo),
+                                  preferred_element_type=jnp.float32,
+                                  precision=MXU_PREC)
+            else:
+                pj = jnp.dot(vr(ohTj), vr(d),
+                             preferred_element_type=jnp.float32,
+                             precision=MXU_PREC)
+            o[:] += pj
 
     return kernel
 
@@ -744,16 +767,12 @@ def _make_spmm_banded_kernel(w: int, exact: bool, interpret: bool):
         loc = local_ref[0, i % 8, :]  # [EC]; DEAD -> zero one-hot column
         sloc = sloc_ref[0, i % 8, :]  # [EC]; w*TILE -> zero select row
         vals = val_ref[0, i % 8, :]  # [EC] f32
-        win = jnp.concatenate([t[...] for t in tabs], axis=0)  # [w*128, L]
-        lanes_s = jax.lax.broadcasted_iota(jnp.int32, (EC, w * TILE), 1)
-        ohs = (lanes_s == sloc[:, None]).astype(jnp.float32)
         rows = jax.lax.broadcasted_iota(jnp.int32, (TILE, EC), 0)
         ohf = (rows == loc[None, :]).astype(jnp.float32)
         if exact:
             # f32 window values: exact select (HIGHEST), then scale and
             # two-limb scatter exactly like the stream 'high' path
-            g = jnp.dot(ohs, win, preferred_element_type=jnp.float32,
-                        precision=hp)  # [EC, L]
+            g = _window_select(sloc, tabs, lambda x: x, hp)  # [EC, L]
             msgs = vals[:, None] * g
             hi = _split_hi(msgs)
             acc = jnp.dot(vr(ohf), vr(hi),
@@ -763,11 +782,9 @@ def _make_spmm_banded_kernel(w: int, exact: bool, interpret: bool):
                                 preferred_element_type=jnp.float32,
                                 precision=MXU_PREC)
         else:
-            # bf16 window: fold the edge weight INTO the select one-hot
-            # (one scaled-select matmul replaces select + multiply)
-            g = jnp.dot(vr(ohs * vals[:, None]), win,
-                        preferred_element_type=jnp.float32,
-                        precision=MXU_PREC)  # [EC, L] f32
+            # bf16 window: fold the edge weight INTO the select one-hots
+            # (scaled-select matmuls replace select + multiply)
+            g = _window_select(sloc, tabs, vr, MXU_PREC, scale=vals)
             acc = jnp.dot(vr(ohf), vr(g),
                           preferred_element_type=jnp.float32,
                           precision=MXU_PREC)
@@ -989,12 +1006,10 @@ def _make_v1_banded_kernel(alpha: float, h: int, hf: int, w: int,
 
         # in-kernel banded window select (replaces the g_ref window input):
         # dead slots (sloc == w*128) select nothing -> zero rows
-        win = jnp.concatenate([t[...] for t in tabs], axis=0)  # [w*128, HF]
-        lanes_s = jax.lax.broadcasted_iota(jnp.int32, (EC, w * TILE), 1)
-        ohs = (lanes_s == sloc[:, None]).astype(jnp.float32)
-        g = jnp.dot(mm(ohs) if two_limb else ohs.astype(jnp.bfloat16),
-                    win, preferred_element_type=jnp.float32,
-                    precision=hp)  # [EC, HF] f32 (exact select of win vals)
+        g = _window_select(
+            sloc, tabs,
+            mm if two_limb else (lambda x: x.astype(jnp.bfloat16)),
+            hp)  # [EC, HF] f32 (exact select of win vals)
 
         l_src = jnp.dot(mm(g), mm(abd_ref[...]),
                         preferred_element_type=jnp.float32,
@@ -1057,12 +1072,10 @@ def _make_v2_banded_kernel(alpha: float, h: int, hf: int, w: int,
         lanes = jax.lax.broadcasted_iota(jnp.int32, (EC, TILE), 1)
         ohT = (lanes == loc[:, None]).astype(jnp.float32)
 
-        win = jnp.concatenate([t[...] for t in tabs], axis=0)  # [w*128, 2HF]
-        lanes_s = jax.lax.broadcasted_iota(jnp.int32, (EC, w * TILE), 1)
-        ohs = (lanes_s == sloc[:, None]).astype(jnp.float32)
-        g2 = jnp.dot(mm(ohs) if two_limb else ohs.astype(jnp.bfloat16),
-                     win, preferred_element_type=jnp.float32,
-                     precision=hp)  # [EC, 2HF]
+        g2 = _window_select(
+            sloc, tabs,
+            mm if two_limb else (lambda x: x.astype(jnp.bfloat16)),
+            hp)  # [EC, 2HF]
         gj = g2[:, :hf]
         gi = g2[:, hf:]
 

@@ -233,8 +233,16 @@ def test_compiled_spmm_banded_fused(gr, precision):
     glob_r = rc[np.arange(plan.num_slots) // 256] * 128 + rl
     ref = np.zeros((g.num_nodes_padded, 96), np.float32)
     np.add.at(ref, glob_r[live], vals_b[live, None] * np.asarray(x)[s[live]])
-    tol = 1e-3 if precision == "high" else 5e-2
-    np.testing.assert_allclose(np.asarray(out), ref, rtol=tol, atol=tol)
+    if precision == "high":
+        np.testing.assert_allclose(np.asarray(out), ref, rtol=1e-3,
+                                   atol=1e-3)
+    else:
+        # fastest = one bf16 pass: ~deg (≈16 here) rounded terms of unit
+        # scale per output, worst-case ~deg * bf16_eps ≈ 0.13 absolute at
+        # cancellation points (module-scoped rng means the draw varies
+        # with test order — the bound must hold for any draw)
+        np.testing.assert_allclose(np.asarray(out), ref, rtol=5e-2,
+                                   atol=0.15)
     assert all(np.isfinite(np.asarray(gg)).all() for gg in grads)
 
 
